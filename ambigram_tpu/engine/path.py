@@ -1,0 +1,277 @@
+"""BFB path replay: order -> breakpoint path -> segment path string.
+
+Parity targets:
+- LocalGenomicMap::getBFB        (/root/reference/src/LocalGenomicMap.cpp:3514-3697)
+- LocalGenomicMap::imperfectFBI  (/root/reference/src/LocalGenomicMap.cpp:3431-3512)
+- LocalGenomicMap::printBFB      (/root/reference/src/LocalGenomicMap.cpp:3411-3429)
+
+The replay walks each topological order of the BFB DAG, seeding the
+breakpoint path with the top pattern/loop, appending patterns at a
+matching end, and splicing loops at the latest parity-valid anchor.
+The first order that consumes every node wins; if none does, the whole
+enumeration retries in the opposite orientation (LGM.cpp:3691-3695).
+
+Breakpoint paths hold vertices at *pair* granularity: path[2k], path[2k+1]
+delimit a monotone run of segments. Expansion to the final segment path
+happens in `expand_breakpoint_path`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from ambigram_tpu.model.genome import Genome, Junction, Vertex, VertexPath
+
+
+def format_bfb(path: VertexPath) -> str:
+    """Path string with '|' at FBIs and '||' at translocations."""
+    if not path:
+        return ""
+    out = []
+    for k in range(1, len(path)):
+        prev, cur = path[k - 1], path[k]
+        out.append(prev.info())
+        if prev.seg.chr_id != cur.seg.chr_id:
+            out.append("||")
+        elif prev.dir != cur.dir:
+            out.append("|")
+    out.append(path[-1].info())
+    return "".join(out)
+
+
+def _find_idx(path: List[Vertex], item: Vertex, start: int, end: Optional[int] = None) -> int:
+    if end is None:
+        end = len(path)
+    for k in range(start, end):
+        if path[k] is item:
+            return k
+    return end
+
+
+def _rfind_idx(path: List[Vertex], item: Vertex, below: int) -> int:
+    """Last index k < below with path[k] is item, else -1."""
+    for k in range(below - 1, -1, -1):
+        if path[k] is item:
+            return k
+    return -1
+
+
+def imperfect_fbi(g: Genome, bkp_path: List[Vertex], inversions: Dict[int, Junction]) -> None:
+    """Rewrite breakpoint pairs so imperfect FBIs print correctly."""
+    pos = 0
+    while pos < len(bkp_path):
+        n = len(bkp_path)
+        # find the complement of bkp_path[pos] at index >= pos+3
+        comp = bkp_path[pos].complement()
+        if pos + 3 <= n:
+            r = _find_idx(bkp_path, comp, pos + 3)
+        else:
+            # reference would run find() past the buffer (UB); treat as
+            # not found
+            r = n
+        l = r - 1
+        if r == n or (pos + 1 < n and bkp_path[l] is not bkp_path[pos + 1].complement()):
+            seg_id = bkp_path[pos + 1].id
+            if seg_id in inversions:
+                junc = inversions[seg_id]
+                if bkp_path[pos + 1].dir == "+":
+                    if junc.source.id < junc.target.id:
+                        bkp_path[pos + 1] = junc.source.pos
+                    else:
+                        bkp_path[pos + 1] = junc.target.pos
+                else:
+                    if junc.source.id < junc.target.id:
+                        bkp_path[pos + 1] = junc.target.neg
+                    else:
+                        bkp_path[pos + 1] = junc.source.neg
+            if pos > 0:
+                seg_id = bkp_path[pos].id
+                if seg_id in inversions and bkp_path[pos - 1].id == seg_id:
+                    junc = inversions[seg_id]
+                    if junc.source.id == seg_id:
+                        bkp_path[pos] = (
+                            junc.target.pos if bkp_path[pos].dir == "+" else junc.target.neg
+                        )
+                    else:
+                        bkp_path[pos] = (
+                            junc.source.pos if bkp_path[pos].dir == "+" else junc.source.neg
+                        )
+            # run-direction sanity adjustment (LGM.cpp:3469-3470)
+            if bkp_path[pos].dir == "+" and bkp_path[pos].id > bkp_path[pos + 1].id:
+                bkp_path[pos + 1] = bkp_path[pos]
+            if bkp_path[pos].dir == "-" and bkp_path[pos].id < bkp_path[pos + 1].id:
+                bkp_path[pos + 1] = bkp_path[pos]
+            pos += 2
+        else:
+            # palindromic center scan (LGM.cpp:3473-3508)
+            p1 = pos + (l - pos) // 2
+            p2 = p1 + 1
+            first_iter_p2 = p1 + 1
+            while p1 >= pos - 1 and p1 > 0:
+                seg_id = bkp_path[p1].id
+                if seg_id in inversions:
+                    junc = inversions[seg_id]
+                    if bkp_path[p1].dir == "+":
+                        if junc.source.id < junc.target.id:
+                            bkp_path[p1] = junc.source.pos
+                            bkp_path[p1 + 1] = junc.target.neg
+                        else:
+                            bkp_path[p1] = junc.target.pos
+                            bkp_path[p1 + 1] = junc.source.neg
+                    else:
+                        if junc.source.id < junc.target.id:
+                            bkp_path[p1] = junc.target.neg
+                            bkp_path[p1 + 1] = junc.source.pos
+                        else:
+                            bkp_path[p1] = junc.source.neg
+                            bkp_path[p1 + 1] = junc.target.pos
+                    if p2 != p1 + 1:
+                        if p1 > pos - 1 and p2 < len(bkp_path):
+                            bkp_path[p2] = bkp_path[p1].complement()
+                        if p2 - 1 < len(bkp_path):
+                            bkp_path[p2 - 1] = bkp_path[p1 + 1].complement()
+                p1 -= 2
+                p2 += 2
+            del first_iter_p2
+            pos = r + 1
+
+
+def expand_breakpoint_path(g: Genome, bkp_path: List[Vertex]) -> VertexPath:
+    """Expand (start, end) breakpoint pairs into per-segment vertex runs
+    (LGM.cpp:3658-3690)."""
+    path: VertexPath = []
+    for j in range(1, len(bkp_path), 2):
+        a, b = bkp_path[j - 1], bkp_path[j]
+        if a.dir == "+":
+            for k in range(a.id, b.id + 1):
+                path.append(g.segment_by_id(k).pos)
+        else:
+            for k in range(a.id, b.id - 1, -1):
+                path.append(g.segment_by_id(k).neg)
+    return path
+
+
+def get_bfb(
+    g: Genome,
+    orders: List[List[int]],
+    node2pat: List[List[int]],
+    node2loop: List[List[int]],
+    inversions: Dict[int, Junction],
+    is_reversed: bool = False,
+    print_all: bool = False,
+    out=None,
+) -> VertexPath:
+    """Replay topological orders into a breakpoint path; returns the
+    first complete expanded path (possibly empty if none works)."""
+    forward_dir = not is_reversed
+    path: VertexPath = []
+    printed: List[str] = []
+    n_idx = 0
+    total = len(orders)
+    while n_idx < total:
+        bfb = orders[n_idx]
+        bkp_path: List[Vertex] = []
+        if node2pat[bfb[0]]:
+            start, end = node2pat[bfb[0]][0], node2pat[bfb[0]][1]
+        else:
+            start, end = node2loop[bfb[0]][0], node2loop[bfb[0]][1]
+        if forward_dir:
+            if node2pat[bfb[0]]:
+                bkp_path.append(g.segment_by_id(start).pos)
+                bkp_path.append(g.segment_by_id(end).pos)
+            else:
+                for _ in range(node2loop[bfb[0]][2]):
+                    bkp_path.append(g.segment_by_id(start).pos)
+                    bkp_path.append(g.segment_by_id(end).pos)
+                    bkp_path.append(g.segment_by_id(end).neg)
+                    bkp_path.append(g.segment_by_id(start).neg)
+        else:
+            if node2pat[bfb[0]]:
+                bkp_path.append(g.segment_by_id(end).neg)
+                bkp_path.append(g.segment_by_id(start).neg)
+            else:
+                for _ in range(node2loop[bfb[0]][2]):
+                    bkp_path.append(g.segment_by_id(end).neg)
+                    bkp_path.append(g.segment_by_id(start).neg)
+                    bkp_path.append(g.segment_by_id(start).pos)
+                    bkp_path.append(g.segment_by_id(end).pos)
+
+        i = 1
+        while i < len(bfb):
+            node = bfb[i]
+            if node2pat[node]:
+                start, end = node2pat[node][0], node2pat[node][1]
+                last = bkp_path[-1]
+                if last.id == start and last.dir == "-":
+                    bkp_path.append(g.segment_by_id(start).pos)
+                    bkp_path.append(g.segment_by_id(end).pos)
+                elif last.id == end and last.dir == "+":
+                    bkp_path.append(g.segment_by_id(end).neg)
+                    bkp_path.append(g.segment_by_id(start).neg)
+                else:
+                    break
+            elif node2loop[node]:
+                start, end = node2loop[node][0], node2loop[node][1]
+                v1 = g.segment_by_id(start).neg
+                v2 = g.segment_by_id(end).pos
+                N = len(bkp_path)
+                # find the latest parity-valid anchor (LGM.cpp:3591-3603)
+                k = _rfind_idx(bkp_path, v1, N)
+                while k != -1 and (
+                    k % 2 == 0
+                    or (k < N - 2 and bkp_path[k - 1].id < bkp_path[k + 2].id)
+                ):
+                    k = _rfind_idx(bkp_path, v1, k)
+                use_v1 = k != -1
+                if not use_v1:
+                    k = _rfind_idx(bkp_path, v2, N)
+                    while k != -1 and (
+                        k % 2 == 0
+                        or (k < N - 2 and bkp_path[k - 1].id > bkp_path[k + 2].id)
+                    ):
+                        k = _rfind_idx(bkp_path, v2, k)
+                if k == -1:
+                    break
+                cn = node2loop[node][2]
+                loop: List[Vertex] = []
+                if use_v1:
+                    for _ in range(cn):
+                        loop.append(g.segment_by_id(start).pos)
+                        loop.append(g.segment_by_id(end).pos)
+                        loop.append(g.segment_by_id(end).neg)
+                        loop.append(g.segment_by_id(start).neg)
+                    bkp_path[k] = g.segment_by_id(start).neg
+                    if k + 1 < len(bkp_path):
+                        bkp_path[k + 1] = g.segment_by_id(start).pos
+                else:
+                    for _ in range(cn):
+                        loop.append(g.segment_by_id(end).neg)
+                        loop.append(g.segment_by_id(start).neg)
+                        loop.append(g.segment_by_id(start).pos)
+                        loop.append(g.segment_by_id(end).pos)
+                    bkp_path[k] = g.segment_by_id(end).pos
+                    if k + 1 < len(bkp_path):
+                        bkp_path[k + 1] = g.segment_by_id(end).neg
+                bkp_path[k + 1 : k + 1] = loop
+            i += 1
+
+        imperfect_fbi(g, bkp_path, inversions)
+        if i == len(bfb):
+            if not path:
+                path = expand_breakpoint_path(g, bkp_path)
+            if print_all:
+                temp = expand_breakpoint_path(g, bkp_path)
+                printed.append(format_bfb(temp))
+                if out is not None:
+                    out.write(format_bfb(temp) + "\n")
+            else:
+                printed.append(format_bfb(path))
+                if out is not None:
+                    out.write(format_bfb(path) + "\n")
+                break
+        elif n_idx == total - 1 and forward_dir != is_reversed:
+            # retry everything in the reverse orientation
+            n_idx = -1
+            forward_dir = is_reversed
+        n_idx += 1
+    return path

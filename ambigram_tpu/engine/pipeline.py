@@ -1,0 +1,361 @@
+"""The `bfb` op: end-to-end orchestration for one LH case.
+
+Parity target: main(), op "bfb" (/root/reference/localhap.cpp:49-389).
+
+Differences from the reference by design:
+- the ILP is solved in-process (ambigram_tpu.solver) instead of
+  shelling out to `cbc` and parsing a .sol file;
+- ledgers (simulation_sv.txt / time.csv) are opt-in;
+- the per-chromosome subproblems are independent work units that the
+  batched device path can score in parallel (ambigram_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ambigram_tpu.engine.components import read_components
+from ambigram_tpu.engine.dag import all_topological_orders, construct_dag
+from ambigram_tpu.engine.enumerate import enumerate_pairs, sorted_key_order
+from ambigram_tpu.engine.ilp import BfbProgram, build_bfb_program
+from ambigram_tpu.engine.indel import get_indel_bias, indel_bfb
+from ambigram_tpu.engine.junccn import fbi_bias, get_junc_cn
+from ambigram_tpu.engine.path import expand_breakpoint_path, format_bfb, get_bfb
+from ambigram_tpu.engine.props import BfbProps, parse_bfb_props
+from ambigram_tpu.model.genome import Genome, Junction, Segment, Vertex, VertexPath
+
+
+@dataclass
+class ChromosomeResult:
+    start: int
+    end: int
+    path: VertexPath
+    path_string: str
+    element_cn: Optional[np.ndarray] = None
+    objective: float = 0.0
+    trivial: bool = False
+    infeasible: bool = False
+
+
+@dataclass
+class BfbResult:
+    paths: List[VertexPath] = field(default_factory=list)
+    chromosomes: List[ChromosomeResult] = field(default_factory=list)
+    path_strings: List[str] = field(default_factory=list)
+    merged_path: Optional[VertexPath] = None
+    merged_path_string: str = ""
+    target_cn: List[int] = field(default_factory=list)
+    ilp_error: float = 0.0
+    num_inversions: int = 0
+    is_resolved: bool = True
+    seconds: float = 0.0
+    output_juncs: List[Junction] = field(default_factory=list)
+    genome: Optional[Genome] = None
+
+
+def _solve(prog: BfbProgram, solver: str):
+    if solver == "exact":
+        from ambigram_tpu.solver.exact import solve_exact
+
+        return solve_exact(prog)
+    if solver == "device":
+        from ambigram_tpu.solver.search import solve_device
+
+        return solve_device(prog)
+    # auto: device search verified against its own certificate, exact
+    # fallback when unproven
+    from ambigram_tpu.solver.search import solve_device
+
+    res = solve_device(prog)
+    if res.status == "optimal":
+        return res
+    from ambigram_tpu.solver.exact import solve_exact
+
+    return solve_exact(prog)
+
+
+def run_bfb(
+    lh_path: str,
+    juncs_path: str = "",
+    juncs_info: bool = False,
+    is_reversed: bool = False,
+    print_all: bool = False,
+    solver: str = "exact",
+    out=None,
+    ledger_dir: Optional[str] = None,
+    lp_prefix: str = "sample",
+) -> BfbResult:
+    begin = time.perf_counter()
+    if out is None:
+        out = _io.StringIO()
+
+    g = Genome.from_lh(lh_path)
+    g.calculate_hap_depth()
+    g.calculate_copy_num()
+
+    props = parse_bfb_props(lh_path)
+    original_segs: Dict[Segment, Segment] = {}
+    unused_sv: List[Junction] = []
+    if props.ins_mode == 1:
+        from ambigram_tpu.engine.trx import insert_before_bfb
+
+        g = insert_before_bfb(g, props.ins_chr, original_segs, unused_sv)
+    elif props.con_mode == 1:
+        from ambigram_tpu.engine.trx import concat_before_bfb
+
+        g = concat_before_bfb(g, props.con_chr, original_segs, unused_sv)
+
+    sources = list(g.sources)
+    sinks = list(g.sinks)
+    segs = list(g.segments)
+    for i, (src, snk) in enumerate(zip(sources, sinks)):
+        for seg_id in range(src.id, snk.id + 1):
+            g.segment_by_id(seg_id).partition = i
+
+    components = read_components(g, original_segs, juncs_path)
+
+    result = BfbResult(genome=g)
+    result.target_cn = [0] * len(g.segments)
+    num_inv = 0
+
+    for n in range(len(sinks)):
+        start_id = sources[n].id
+        end_id = sinks[n].id
+
+        inversions, junc_cn = get_junc_cn(g, start_id, end_id)
+        num_inv += len(inversions)
+        bias = fbi_bias(inversions, junc_cn, start_id, end_id)
+        get_indel_bias(g, start_id, end_id)
+
+        inversion_cn_sum = float(junc_cn[: end_id + 1, 1].sum())
+        valid_components = [
+            c for c in components if g.segment_by_id(c[0]).partition == n
+        ]
+
+        if abs(inversion_cn_sum) < 1e-6 and not valid_components:
+            path = [g.segment_by_id(i).pos for i in range(start_id, end_id + 1)]
+            out.write(format_bfb(path) + "\n")
+            result.paths.append(path)
+            result.chromosomes.append(
+                ChromosomeResult(
+                    start=start_id,
+                    end=end_id,
+                    path=path,
+                    path_string=format_bfb(path),
+                    trivial=True,
+                )
+            )
+            continue
+
+        seg_cn = np.array(
+            [g.segment_by_id(i).weight.copy_num for i in range(start_id, end_id + 1)]
+        )
+        fbi_cn = junc_cn[start_id : end_id + 1, 1].copy()
+        max_cn = sum(s.weight.copy_num for s in g.segments)
+        prog = build_bfb_program(
+            start_id,
+            end_id,
+            seg_cn,
+            fbi_cn,
+            max_cn,
+            bias,
+            components=valid_components,
+            juncs_info=juncs_info,
+        )
+        sol = _solve(prog, solver)
+        if sol.status != "optimal":
+            path = [g.segment_by_id(i).pos for i in range(start_id, end_id + 1)]
+            out.write(format_bfb(path) + "\n")
+            out.write("ILP is unsolvable.\n")
+            result.paths.append(path)
+            result.chromosomes.append(
+                ChromosomeResult(
+                    start=start_id,
+                    end=end_id,
+                    path=path,
+                    path_string=format_bfb(path),
+                    trivial=True,
+                    infeasible=True,
+                )
+            )
+            continue
+        result.ilp_error += sol.objective
+        element_cn = sol.x
+
+        # target CN accumulation (localhap.cpp:222-232)
+        pairs = prog.pairs
+        T = len(pairs)
+        for t in range(T):
+            i1, i2 = int(pairs[t][0]), int(pairs[t][1])
+            if element_cn[t] > 0:
+                for k in range(i1 - 1, i2):
+                    result.target_cn[k] += int(element_cn[t])
+            if element_cn[T + t] > 0:
+                for k in range(i1 - 1, i2):
+                    result.target_cn[k] += int(element_cn[T + t]) * 2
+        entries = sorted_key_order(pairs)
+        adj, node2pat, node2loop = construct_dag(entries, element_cn)
+        orders = all_topological_orders(adj)
+        orders = [o for o in orders if o]  # guard against the empty-DAG case
+        path: VertexPath = []
+        if orders:
+            path = get_bfb(
+                g,
+                orders,
+                node2pat,
+                node2loop,
+                inversions,
+                is_reversed=is_reversed,
+                print_all=print_all,
+                out=out,
+            )
+        indel_bfb(g, path, start_id, end_id, out=out)
+        if props.ins_mode == 1 or props.con_mode == 1:
+            from ambigram_tpu.engine.trx import virus_bfb
+
+            virus_bfb(g, path, original_segs, unused_sv, out=out)
+        result.paths.append(path)
+        result.chromosomes.append(
+            ChromosomeResult(
+                start=start_id,
+                end=end_id,
+                path=path,
+                path_string=format_bfb(path),
+                element_cn=element_cn,
+                objective=sol.objective,
+            )
+        )
+
+    result.num_inversions = num_inv
+
+    # output junction derivation (localhap.cpp:267-289)
+    output_juncs: List[Junction] = []
+    path_len = 0
+    for p in result.paths:
+        path_len += len(p)
+        for i in range(len(p) - 1):
+            u, v = p[i], p[i + 1]
+            if not (abs(u.id - v.id) == 1 and u.dir == v.dir):
+                has_junc = False
+                for j in output_juncs:
+                    a, b = j.edge_a, j.edge_b
+                    if (a.source is u and a.target is v) or (
+                        b.source is u and b.target is v
+                    ):
+                        has_junc = True
+                        j.weight.copy_num += 1
+                if not has_junc:
+                    output_juncs.append(
+                        Junction(u.seg, v.seg, u.dir, v.dir, 30, 1, 1, True, False, False)
+                    )
+
+    # post-BFB translocation merging (localhap.cpp:296-316)
+    if props.ins_mode == 2 or props.con_mode == 2:
+        from ambigram_tpu.engine.trx import translocation_bfb
+
+        res_path: VertexPath = []
+        translocation_bfb(g, result.paths, res_path, props.main_chr, out=out)
+        result.merged_path = res_path
+        result.merged_path_string = format_bfb(res_path)
+        for i in range(len(res_path) - 1):
+            u, v = res_path[i], res_path[i + 1]
+            if not (abs(u.id - v.id) == 1 and u.dir == v.dir):
+                has_junc = False
+                for j in output_juncs:
+                    a, b = j.edge_a, j.edge_b
+                    if (a.source is u and a.target is v) or (
+                        b.source is u and b.target is v
+                    ):
+                        has_junc = True
+                if not has_junc:
+                    output_juncs.append(
+                        Junction(u.seg, v.seg, u.dir, v.dir, 30, 1, 1, True, False, False)
+                    )
+    result.output_juncs = output_juncs
+
+    # resolved check (localhap.cpp:318-324)
+    if result.ilp_error < 0.1:
+        error = 0
+        for k, seg in enumerate(segs):
+            # reference accumulates abs(double diff) into an int, which
+            # truncates toward zero (localhap.cpp:320-322)
+            error += int(abs(seg.weight.copy_num - result.target_cn[k]))
+        if error > len(segs):
+            result.is_resolved = False
+
+    result.path_strings = [c.path_string for c in result.chromosomes]
+    result.seconds = time.perf_counter() - begin
+
+    if ledger_dir is not None:
+        _append_ledgers(result, g, lh_path, juncs_path, ledger_dir, segs, path_len)
+    return result
+
+
+def _append_ledgers(
+    result: BfbResult,
+    g: Genome,
+    lh_path: str,
+    juncs_path: str,
+    ledger_dir: str,
+    segs: List[Segment],
+    path_len: int,
+) -> None:
+    import os
+
+    cn_sum = sum(int(s.weight.copy_num) for s in segs)
+    max_cn = max((int(s.weight.copy_num) for s in segs), default=0)
+    with open(os.path.join(ledger_dir, "simulation_sv.txt"), "a") as f:
+        for j in g.junctions:
+            u, v = j.edge_a.source, j.edge_a.target
+            f.write(
+                "%s\t%s\t%s\t%d\t%s\t%s\t%d\t%s\t%g\tinput\n"
+                % (
+                    lh_path,
+                    juncs_path,
+                    u.seg.chrom,
+                    u.seg.end if u.dir == "+" else u.seg.start,
+                    u.dir,
+                    v.seg.chrom,
+                    v.seg.start if v.dir == "+" else v.seg.end,
+                    v.dir,
+                    j.weight.copy_num,
+                )
+            )
+        for j in result.output_juncs:
+            u, v = j.edge_a.source, j.edge_a.target
+            f.write(
+                "%s\t%s\t%s\t%d\t%s\t%s\t%d\t%s\t%g\toutput\n"
+                % (
+                    lh_path,
+                    juncs_path,
+                    u.seg.chrom,
+                    u.seg.end if u.dir == "+" else u.seg.start,
+                    u.dir,
+                    v.seg.chrom,
+                    v.seg.start if v.dir == "+" else v.seg.end,
+                    v.dir,
+                    j.weight.copy_num,
+                )
+            )
+    name = os.path.basename(lh_path)
+    name = lh_path[: lh_path.find(".")] if "." in lh_path else lh_path
+    with open(os.path.join(ledger_dir, "time.csv"), "a") as f:
+        f.write(
+            "%s,%d,%d,%d,%d,%d,%d,%s\n"
+            % (
+                name,
+                len(segs),
+                result.num_inversions,
+                len(g.junctions) - result.num_inversions,
+                cn_sum,
+                path_len,
+                max_cn,
+                result.seconds,
+            )
+        )
