@@ -1,0 +1,121 @@
+import os
+
+import numpy as np
+import pytest
+
+from ambigram_tpu.engine.ilp import build_bfb_program
+from ambigram_tpu.engine.junccn import get_junc_cn
+from ambigram_tpu.model.genome import Genome
+from ambigram_tpu.solver.exact import solve_exact
+from ambigram_tpu.solver.score import (
+    score_batch_jit,
+    score_batch_pallas,
+    scoring_tensors,
+)
+from ambigram_tpu.solver.search import lp_lower_bound, solve_device
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _egfr_prog():
+    g = Genome.from_lh(os.path.join(DATA, "egfr6.lh"))
+    g.calculate_hap_depth()
+    g.calculate_copy_num()
+    _, junc_cn = get_junc_cn(g, 1, 6)
+    seg_cn = np.array([s.weight.copy_num for s in g.segments])
+    return build_bfb_program(1, 6, seg_cn, junc_cn[1:7, 1], seg_cn.sum(), 1)
+
+
+def _random_prog(rng, n):
+    """A random but structurally consistent BFB-ish instance."""
+    start, end = 1, n
+    # build a random CN profile by stacking loops
+    T = n * (n + 1) // 2
+    from ambigram_tpu.engine.enumerate import enumerate_pairs
+
+    pairs = enumerate_pairs(start, end)
+    x = np.zeros(2 * T)
+    for _ in range(rng.integers(2, 5)):
+        t = rng.integers(0, T)
+        x[T + t] += rng.integers(1, 3)
+    seg_cn = np.zeros(n)
+    fbi_cn = np.zeros(n)
+    for t in range(T):
+        i, j = pairs[t]
+        if x[T + t] > 0:
+            seg_cn[i - 1 : j] += 2 * x[T + t]
+            fbi_cn[i - 1] += x[T + t]
+            fbi_cn[j - 1] += x[T + t]
+    # add noise to the profile
+    seg_cn += rng.integers(0, 2, size=n)
+    return build_bfb_program(start, end, seg_cn, fbi_cn, seg_cn.sum(), 1)
+
+
+def test_exact_egfr6():
+    prog = _egfr_prog()
+    res = solve_exact(prog)
+    assert res.status == "optimal"
+    assert res.epsilon_sum == pytest.approx(1.0)
+    assert res.objective == pytest.approx(0.0)
+    # the hand-derived optimum: loops (1,6), (2,6), (2,4), (3,4)
+    from ambigram_tpu.engine.enumerate import pair_index
+
+    T = len(prog.pairs)
+    expected = np.zeros(2 * T, dtype=np.int64)
+    for ij in [(1, 6), (2, 6), (2, 4), (3, 4)]:
+        expected[T + pair_index(1, 6, *ij)] = 1
+    assert np.array_equal(res.x, expected)
+
+
+def test_score_batch_matches_numpy():
+    prog = _egfr_prog()
+    st = scoring_tensors(prog)
+    rng = np.random.default_rng(0)
+    B = 16
+    Vp = st.A.shape[1]
+    X = np.zeros((B, Vp), dtype=np.float32)
+    X[:, : prog.num_vars] = rng.integers(0, 3, size=(B, prog.num_vars))
+    scores = np.asarray(score_batch_jit(st, X))
+    for b in range(B):
+        x = X[b, : prog.num_vars].astype(np.float64)
+        expect = prog.residual_objective(x) + 1024.0 * prog.hard_violation(x)
+        assert scores[b] == pytest.approx(expect, rel=1e-5)
+
+
+def test_pallas_scorer_matches_reference_impl():
+    prog = _egfr_prog()
+    st = scoring_tensors(prog)
+    rng = np.random.default_rng(1)
+    B = 512
+    Vp = st.A.shape[1]
+    X = np.zeros((B, Vp), dtype=np.float32)
+    X[:, : prog.num_vars] = rng.integers(0, 2, size=(B, prog.num_vars))
+    want = np.asarray(score_batch_jit(st, X))
+    got = np.asarray(score_batch_pallas(st, X, block_b=256))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_lp_lower_bound_egfr6():
+    prog = _egfr_prog()
+    lb = lp_lower_bound(prog)
+    assert lb is not None
+    assert lb <= 1.0 + 1e-9
+
+
+def test_device_search_finds_exact_optimum_egfr6():
+    prog = _egfr_prog()
+    res_exact = solve_exact(prog)
+    res_dev = solve_device(prog)
+    assert res_dev.epsilon_sum == pytest.approx(res_exact.epsilon_sum)
+    assert float(prog.hard_violation(res_dev.x.astype(float))) == 0.0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_device_search_matches_exact_random(seed):
+    rng = np.random.default_rng(seed)
+    prog = _random_prog(rng, n=rng.integers(4, 8))
+    res_exact = solve_exact(prog)
+    assert res_exact.status == "optimal"
+    res_dev = solve_device(prog)
+    assert float(prog.hard_violation(res_dev.x.astype(float))) == 0.0
+    assert res_dev.epsilon_sum == pytest.approx(res_exact.epsilon_sum, abs=1e-6)
