@@ -55,7 +55,10 @@ class BfbProgram:
 
     @property
     def num_vars(self) -> int:
-        return 2 * len(self.pairs)
+        # column count of the residual rows — for a single-graph program
+        # this is 2 * len(pairs); the single-cell block program has
+        # num_graphs * 2 * len(pairs) columns (engine/sc.py)
+        return self.A_seg.shape[1]
 
     def residual_objective(self, x: np.ndarray) -> np.ndarray:
         """Sum of absolute residuals (the epsilon sum), before -bias.

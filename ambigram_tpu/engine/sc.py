@@ -1,0 +1,243 @@
+"""Single-cell mode: joint BFB reconstruction over multiple subclones.
+
+Parity targets:
+- main(), op "sc_bfb"  (/root/reference/localhap.cpp:390-679)
+- BFB_ILP_SC           (/root/reference/src/LocalGenomicMap.cpp:4754-5093)
+
+All subclone graphs share one integer program: each graph gets its own
+copy of the per-chromosome constraint set (variable block k covers
+graph k), and for every evolution edge (a, b) a coupling term
+|x_t^a - x_t^b| joins the objective — which in the epsilon-eliminated
+form is just an extra residual row (x_t^a - x_t^b with target 0).
+Solutions therefore favor subclones sharing patterns/loops.
+"""
+
+from __future__ import annotations
+
+import io as _io
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ambigram_tpu.engine.dag import all_topological_orders, construct_dag
+from ambigram_tpu.engine.enumerate import sorted_key_order
+from ambigram_tpu.engine.ilp import BfbProgram, build_bfb_program
+from ambigram_tpu.engine.indel import get_indel_bias, indel_bfb
+from ambigram_tpu.engine.junccn import get_junc_cn
+from ambigram_tpu.engine.path import format_bfb, get_bfb
+from ambigram_tpu.engine.props import parse_bfb_props
+from ambigram_tpu.model.genome import Genome, VertexPath
+
+
+def build_sc_program(
+    progs: List[BfbProgram],
+    evolution: List[List[int]],
+) -> BfbProgram:
+    """Combine per-graph programs into one block program with coupling
+    residual rows along evolution edges."""
+    K = len(progs)
+    p0 = progs[0]
+    T2 = p0.num_vars  # 2T, identical across graphs (same interval)
+    V = T2 * K
+
+    def lift(mat: np.ndarray, k: int) -> np.ndarray:
+        out = np.zeros((mat.shape[0], V))
+        out[:, k * T2 : (k + 1) * T2] = mat
+        return out
+
+    A_seg = np.concatenate([lift(p.A_seg, k) for k, p in enumerate(progs)], axis=0)
+    c_seg = np.concatenate([p.c_seg for p in progs])
+    A_fbi_blocks = [lift(p.A_fbi, k) for k, p in enumerate(progs)]
+    c_fbi_blocks = [p.c_fbi for p in progs]
+    # coupling rows: x^a - x^b target 0 (LGM.cpp:5033-5071)
+    coup_rows = []
+    for a in range(len(evolution)):
+        for b in evolution[a]:
+            for t in range(T2):
+                row = np.zeros(V)
+                row[a * T2 + t] = 1.0
+                row[b * T2 + t] = -1.0
+                coup_rows.append(row)
+    if coup_rows:
+        A_fbi_blocks.append(np.array(coup_rows))
+        c_fbi_blocks.append(np.zeros(len(coup_rows)))
+    A_fbi = np.concatenate(A_fbi_blocks, axis=0)
+    c_fbi = np.concatenate(c_fbi_blocks)
+    G = np.concatenate([lift(p.G, k) for k, p in enumerate(progs)], axis=0)
+    g_lb = np.concatenate([p.g_lb for p in progs])
+    g_ub = np.concatenate([p.g_ub for p in progs])
+    x_ub = np.concatenate([p.x_ub for p in progs])
+    return BfbProgram(
+        start=p0.start,
+        end=p0.end,
+        pairs=p0.pairs,
+        A_seg=A_seg,
+        c_seg=c_seg,
+        A_fbi=A_fbi,
+        c_fbi=c_fbi,
+        G=G,
+        g_lb=g_lb,
+        g_ub=g_ub,
+        x_ub=x_ub,
+        bias=0,
+    )
+
+
+@dataclass
+class ScBfbResult:
+    paths: List[List[VertexPath]] = field(default_factory=list)
+    path_strings: List[List[str]] = field(default_factory=list)
+    genomes: List[Genome] = field(default_factory=list)
+    seconds: float = 0.0
+
+
+def run_sc_bfb(
+    lh_paths: str,
+    juncs_path: str = "",
+    juncs_info: bool = False,
+    is_reversed: bool = False,
+    print_all: bool = False,
+    solver: str = "exact",
+    out=None,
+    ledger_dir: Optional[str] = None,
+    lp_prefix: str = "sample",
+) -> ScBfbResult:
+    begin = time.perf_counter()
+    if out is None:
+        out = _io.StringIO()
+    names = [s for s in lh_paths.split(",") if s]
+    genomes: List[Genome] = []
+    for name in names:
+        g = Genome.from_lh(name)
+        g.calculate_hap_depth()
+        g.calculate_copy_num()
+        genomes.append(g)
+    K = len(genomes)
+    # evolution DAG: default all-pairs (localhap.cpp:430-434)
+    evolution: List[List[int]] = [[j for j in range(i + 1, K)] for i in range(K)]
+
+    g0 = genomes[0]
+    props = parse_bfb_props(lh_paths)  # comma-joined name: degrades to empty
+
+    sources = list(g0.sources)
+    sinks = list(g0.sinks)
+    for i, (src, snk) in enumerate(zip(sources, sinks)):
+        for seg_id in range(src.id, snk.id + 1):
+            g0.segment_by_id(seg_id).partition = i
+
+    result = ScBfbResult(genomes=genomes)
+    result.paths = [[] for _ in range(K)]
+
+    for n in range(len(sources)):
+        start_id = sources[n].id
+        end_id = sinks[n].id
+        inversions0, junc_cn0 = get_junc_cn(g0, start_id, end_id)
+        for g in genomes:
+            get_indel_bias(g, start_id, end_id)
+
+        inversion_cn_sum = float(junc_cn0[: end_id + 1, 1].sum())
+        if abs(inversion_cn_sum) < 1e-6:
+            for k, g in enumerate(genomes):
+                path = [g.segment_by_id(i).pos for i in range(start_id, end_id + 1)]
+                result.paths[k].append(path)
+            continue
+
+        progs = []
+        for g in genomes:
+            _, junc_cn = get_junc_cn(g, start_id, end_id)
+            seg_cn = np.array(
+                [g.segment_by_id(i).weight.copy_num for i in range(start_id, end_id + 1)]
+            )
+            max_cn = sum(
+                g.segment_by_id(i).weight.copy_num for i in range(start_id, end_id + 1)
+            )
+            progs.append(
+                build_bfb_program(
+                    start_id,
+                    end_id,
+                    seg_cn,
+                    junc_cn[start_id : end_id + 1, 1],
+                    max_cn,
+                    0,
+                )
+            )
+        sc_prog = build_sc_program(progs, evolution)
+        if solver == "device":
+            from ambigram_tpu.solver.search import solve_device
+
+            sol = solve_device(sc_prog)
+        else:
+            from ambigram_tpu.solver.exact import solve_exact
+
+            sol = solve_exact(sc_prog)
+        if sol.status not in ("optimal", "heuristic"):
+            out.write("ILP is unsolvable.\n")
+            for k, g in enumerate(genomes):
+                path = [g.segment_by_id(i).pos for i in range(start_id, end_id + 1)]
+                result.paths[k].append(path)
+            continue
+
+        T2 = progs[0].num_vars
+        for k, g in enumerate(genomes):
+            element_k = sol.x[k * T2 : (k + 1) * T2]
+            entries = sorted_key_order(progs[0].pairs)
+            adj, node2pat, node2loop = construct_dag(entries, element_k)
+            orders = [o for o in all_topological_orders(adj) if o]
+            inversions_k, _ = get_junc_cn(g, start_id, end_id)
+            path: VertexPath = []
+            if orders:
+                path = get_bfb(
+                    g,
+                    orders,
+                    node2pat,
+                    node2loop,
+                    inversions_k,
+                    is_reversed=is_reversed,
+                    print_all=print_all,
+                    out=out,
+                )
+            indel_bfb(g, path, start_id, end_id, out=out)
+            result.paths[k].append(path)
+
+    # post-BFB translocation merging per graph (localhap.cpp:667-670)
+    if props.ins_mode == 2 or props.con_mode == 2:
+        from ambigram_tpu.engine.trx import translocation_bfb
+
+        for k, g in enumerate(genomes):
+            res_path: VertexPath = []
+            translocation_bfb(g, result.paths[k], res_path, props.main_chr, out=out)
+
+    result.path_strings = [
+        [format_bfb(p) for p in result.paths[k]] for k in range(K)
+    ]
+    result.seconds = time.perf_counter() - begin
+    if ledger_dir is not None:
+        import os
+
+        with open(os.path.join(ledger_dir, "time.csv"), "a") as f:
+            seg_count = len(g0.segments)
+            cn_sum = sum(
+                int(s.weight.copy_num) for g in genomes for s in g.segments
+            )
+            max_cn = max(
+                (int(s.weight.copy_num) for g in genomes for s in g.segments),
+                default=0,
+            )
+            path_len = sum(len(p) for k in range(K) for p in result.paths[k])
+            name = lh_paths[: lh_paths.find(".")] if "." in lh_paths else lh_paths
+            f.write(
+                "%s,%d,%d,%d,%d,%d,%d,%s\n"
+                % (
+                    name,
+                    seg_count,
+                    0,
+                    len(g0.junctions),
+                    cn_sum,
+                    path_len,
+                    max_cn,
+                    result.seconds,
+                )
+            )
+    return result

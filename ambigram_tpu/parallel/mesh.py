@@ -1,0 +1,164 @@
+"""Multi-device sharding of the BFB engine.
+
+The reference is a single-threaded process (SURVEY.md section 2d); the
+TPU-native design shards two independent axes over a device mesh:
+
+- "case":  independent LH cases / chromosome subproblems (data
+           parallelism — each case's tensors and candidate pool live on
+           its own mesh slice);
+- "model": the residual-row dimension of the scoring matmul (the
+           tensor-parallel analog — each device scores a row shard and
+           the per-candidate score is a psum over the axis).
+
+Candidate-pool parallelism inside one case needs no collective at all
+until the final argmin, which XLA lowers to an all-reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ambigram_tpu.engine.ilp import BfbProgram
+from ambigram_tpu.solver.score import PENALTY, ScoringTensors, scoring_tensors
+
+
+def make_mesh(n_devices: Optional[int] = None, case_axis: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if case_axis is None:
+        case_axis = n // 2 if (n % 2 == 0 and n > 1) else n
+    model_axis = n // case_axis
+    arr = np.array(devices).reshape(case_axis, model_axis)
+    return Mesh(arr, ("case", "model"))
+
+
+def stack_cases(progs: Sequence[BfbProgram]) -> ScoringTensors:
+    """Stack several fitting programs into one leading-case-axis tensor
+    set, padded to the max shape across cases."""
+    pad_v = max(128, max(((p.num_vars + 127) // 128) * 128 for p in progs))
+    sts = [scoring_tensors(p, pad_vars=pad_v) for p in progs]
+    pad_r = max(st.H.shape[0] for st in sts)
+
+    def pad_rows(x, rows, fill=0.0):
+        out = np.full((rows,) + x.shape[1:], fill, dtype=np.float32)
+        out[: x.shape[0]] = np.asarray(x)
+        return out
+
+    big = np.float32(3.0e38)
+    H = np.stack([pad_rows(st.H, pad_r) for st in sts])
+    lb = np.stack([pad_rows(st.lb, pad_r, -big) for st in sts])
+    ub = np.stack([pad_rows(st.ub, pad_r, big) for st in sts])
+    x_ub = np.stack([np.asarray(st.x_ub) for st in sts])
+    return ScoringTensors(
+        H=jnp.asarray(H),
+        lb=jnp.asarray(lb),
+        ub=jnp.asarray(ub),
+        x_ub=jnp.asarray(x_ub),
+        num_vars=pad_v,
+        num_residual_rows=max(st.num_residual_rows for st in sts),
+    )
+
+
+def _local_score(H, lb, ub, x):
+    """Score candidates against a row-shard of the unified program; the
+    caller psums over the 'model' axis."""
+    hx = jnp.matmul(x, H.T, preferred_element_type=jnp.float32)
+    over = jnp.maximum(hx - ub, 0.0)
+    under = jnp.maximum(lb - hx, 0.0)
+    return jnp.sum(over, axis=-1) + jnp.sum(under, axis=-1)
+
+
+def sharded_step(mesh: Mesh):
+    """Build the jitted multi-case multi-device search step.
+
+    Inputs (case-stacked):
+      A [C, R, V], c [C, R], G [C, M, V], g_lb/g_ub [C, M],
+      x_ub [C, V], X [C, B, V] candidate pools, moves [K, V].
+
+    One step scores every member+move combination, psums row-shards
+    over the "model" axis, and greedily applies each member's best
+    move. Returns (X', scores'). "case" shards ride pure data
+    parallelism; "model" shards meet in one psum per scoring call.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    in_specs = (
+        P("case", "model", None),  # H rows sharded over model axis
+        P("case", "model"),
+        P("case", "model"),
+        P("case", None),  # x_ub
+        P("case", None, None),  # X
+        P(None, None),  # moves (replicated)
+    )
+    out_specs = (P("case", None, None), P("case", None))
+
+    def step(H, lb, ub, x_ub, X, moves):
+        def per_case(H, lb, ub, x_ub, X):
+            B, V = X.shape
+            K = moves.shape[0]
+            cand = jnp.clip(X[:, None, :] + moves[None, :, :], 0.0, x_ub)
+            flat = cand.reshape(B * K, V)
+            local = _local_score(H, lb, ub, flat)
+            total = jax.lax.psum(local, "model").reshape(B, K)
+            base_local = _local_score(H, lb, ub, X)
+            base = jax.lax.psum(base_local, "model")
+            idx = jnp.argmin(total, axis=1)
+            best = jnp.take_along_axis(total, idx[:, None], axis=1)[:, 0]
+            better = best < base
+            chosen = jnp.clip(X + moves[idx], 0.0, x_ub)
+            X_new = jnp.where(better[:, None], chosen, X)
+            s_new = jnp.where(better, best, base)
+            return X_new, s_new
+
+        return jax.vmap(per_case)(H, lb, ub, x_ub, X)
+
+    return jax.jit(
+        shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    )
+
+
+def solve_cases_sharded(
+    progs: Sequence[BfbProgram],
+    mesh: Optional[Mesh] = None,
+    pop: int = 32,
+    steps: int = 64,
+    n_moves: int = 0,
+) -> List[np.ndarray]:
+    """Solve a batch of cases data-parallel across the mesh; returns the
+    best integer candidate per case."""
+    if mesh is None:
+        mesh = make_mesh()
+    case_dim = mesh.devices.shape[0]
+    C = len(progs)
+    Cp = ((C + case_dim - 1) // case_dim) * case_dim
+    padded = list(progs) + [progs[-1]] * (Cp - C)
+    st = stack_cases(padded)
+    V = st.H.shape[-1]
+    # move set: +-1 on each variable (padded vars have x_ub 0 so clipping
+    # neutralizes them), plus the null move
+    eye = np.eye(V, dtype=np.float32)
+    moves = np.concatenate([np.zeros((1, V), np.float32), eye, -eye], axis=0)
+    if n_moves:
+        moves = moves[:n_moves]
+    X = np.zeros((Cp, pop, V), dtype=np.float32)
+    step = sharded_step(mesh)
+    Xj = jnp.asarray(X)
+    moves_j = jnp.asarray(moves)
+    scores = None
+    for _ in range(steps):
+        Xj, scores = step(st.H, st.lb, st.ub, st.x_ub, Xj, moves_j)
+    Xn = np.asarray(Xj)
+    Sn = np.asarray(scores)
+    out = []
+    for i in range(C):
+        b = int(np.argmin(Sn[i]))
+        out.append(np.round(Xn[i, b, : progs[i].num_vars]).astype(np.int64))
+    return out

@@ -52,8 +52,9 @@ def solve_exact(prog: BfbProgram, time_limit: Optional[float] = None) -> SolveRe
     if not _HAVE_MILP:  # pragma: no cover
         raise RuntimeError("scipy HiGHS MILP unavailable")
     V = prog.num_vars
-    n = prog.n
-    E = 2 * n  # one epsilon per residual row pair (seg + fbi)
+    A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
+    c_res = np.concatenate([prog.c_seg, prog.c_fbi])
+    E = A_res.shape[0]  # one epsilon per residual row
     N = V + E
 
     # objective: minimize sum of epsilons
@@ -64,25 +65,19 @@ def solve_exact(prog: BfbProgram, time_limit: Optional[float] = None) -> SolveRe
     lbs = []
     ubs = []
 
-    # residual rows: for seg row i, epsilon index i; for fbi row i,
-    # epsilon index n + i — matching the reference's e-indexing where
-    # the four rows per segment interleave (seg+, seg-, fbi+, fbi-)
-    # sharing epsilon idx/2. Reference epsilon order: seg_i -> 2i,
-    # fbi_i -> 2i+1.
-    for i in range(n):
-        for A, cvec, eps in ((prog.A_seg, prog.c_seg, 2 * i), (prog.A_fbi, prog.c_fbi, 2 * i + 1)):
-            row = np.zeros(N)
-            row[:V] = A[i]
-            row[V + eps] = 1.0
-            rows.append(row)
-            lbs.append(cvec[i])
-            ubs.append(np.inf)
-            row2 = np.zeros(N)
-            row2[:V] = A[i]
-            row2[V + eps] = -1.0
-            rows.append(row2)
-            lbs.append(-np.inf)
-            ubs.append(cvec[i])
+    for i in range(E):
+        row = np.zeros(N)
+        row[:V] = A_res[i]
+        row[V + i] = 1.0
+        rows.append(row)
+        lbs.append(c_res[i])
+        ubs.append(np.inf)
+        row2 = np.zeros(N)
+        row2[:V] = A_res[i]
+        row2[V + i] = -1.0
+        rows.append(row2)
+        lbs.append(-np.inf)
+        ubs.append(c_res[i])
     for r in range(prog.G.shape[0]):
         row = np.zeros(N)
         row[:V] = prog.G[r]

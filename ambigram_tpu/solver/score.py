@@ -6,8 +6,10 @@ Its score is the ILP objective the reference ships to cbc
 
     score(x) = sum |A x - c|  +  PENALTY * violation(G x, g_lb, g_ub)
 
-Both terms are matmul-shaped, so scoring a batch X [B, V] is two
-MXU matmuls plus a fused elementwise reduction — this is the
+Since |r - c| = max(r - c, 0) + max(c - r, 0), a residual row is just a
+hard row with lb = ub = c, so the whole program unifies into one
+matrix H = [A; PENALTY*G] with bounds and score = sum of two hinges —
+a single MXU matmul plus a fused elementwise reduction. That is the
 speed-of-light inner loop the BASELINE metric (candidate structures
 scored/sec/chip) measures.
 
@@ -29,6 +31,7 @@ import numpy as np
 from ambigram_tpu.engine.ilp import BfbProgram
 
 PENALTY = 1024.0  # dominates any achievable residual for in-range programs
+_BIG = 3.0e38  # finite stand-in for +-inf bounds
 
 
 def _round_up(x: int, m: int) -> int:
@@ -38,142 +41,140 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class ScoringTensors:
-    """Padded device-ready tensors for one fitting program."""
+    """Padded device-ready tensors for one fitting program.
 
-    A: jnp.ndarray  # [R, Vp] residual rows (seg rows then fbi rows), zero-padded
-    c: jnp.ndarray  # [R]
-    G: jnp.ndarray  # [M, Vp] hard rows, zero-padded
-    g_lb: jnp.ndarray  # [M]
-    g_ub: jnp.ndarray  # [M]
-    x_ub: jnp.ndarray  # [Vp] (0 for padding lanes)
-    num_vars: int  # true V before padding
+    H  [Rows, Vp]  unified rows: residual rows of A (lb = ub = c) then
+                   hard rows of G prescaled by PENALTY
+    lb [Rows], ub [Rows]  row bounds (prescaled for the G rows)
+    x_ub [Vp]      variable upper bounds (0 on padding lanes)
+    """
+
+    H: jnp.ndarray
+    lb: jnp.ndarray
+    ub: jnp.ndarray
+    x_ub: jnp.ndarray
+    num_vars: int
+    num_residual_rows: int
 
     def tree_flatten(self):
         return (
-            (self.A, self.c, self.G, self.g_lb, self.g_ub, self.x_ub),
-            (self.num_vars,),
+            (self.H, self.lb, self.ub, self.x_ub),
+            (self.num_vars, self.num_residual_rows),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, num_vars=aux[0])
+        return cls(*children, num_vars=aux[0], num_residual_rows=aux[1])
 
 
 def scoring_tensors(
-    prog: BfbProgram, pad_vars: Optional[int] = None, pad_rows: Optional[int] = None
+    prog: BfbProgram,
+    pad_vars: Optional[int] = None,
+    pad_rows: Optional[int] = None,
 ) -> ScoringTensors:
     V = prog.num_vars
     Vp = pad_vars if pad_vars is not None else _round_up(max(V, 128), 128)
     A_np = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
     c_np = np.concatenate([prog.c_seg, prog.c_fbi], axis=0)
     R = A_np.shape[0]
+    M = prog.G.shape[0]
+    rows = R + M
     # generous bucketing so instances of similar size share one
     # compiled search program
-    Rp = pad_rows if pad_rows is not None else _round_up(max(R, 128), 128)
-    A = np.zeros((Rp, Vp), dtype=np.float32)
-    A[:R, :V] = A_np
-    c = np.zeros(Rp, dtype=np.float32)
-    c[:R] = c_np
-    M = prog.G.shape[0]
-    Mp = _round_up(max(M, 512), 512)
-    G = np.zeros((Mp, Vp), dtype=np.float32)
-    g_lb = np.full(Mp, -np.inf, dtype=np.float32)
-    g_ub = np.full(Mp, np.inf, dtype=np.float32)
+    Rp = pad_rows if pad_rows is not None else _round_up(max(rows, 512), 512)
+    H = np.zeros((Rp, Vp), dtype=np.float32)
+    lb = np.full(Rp, -_BIG, dtype=np.float32)
+    ub = np.full(Rp, _BIG, dtype=np.float32)
+    H[:R, :V] = A_np
+    lb[:R] = c_np
+    ub[:R] = c_np
     if M:
-        G[:M, :V] = prog.G
-        g_lb[:M] = prog.g_lb
-        g_ub[:M] = prog.g_ub
+        H[R : R + M, :V] = PENALTY * prog.G
+        lb[R : R + M] = np.maximum(PENALTY * prog.g_lb, -_BIG)
+        ub[R : R + M] = np.minimum(PENALTY * prog.g_ub, _BIG)
     x_ub = np.zeros(Vp, dtype=np.float32)
     x_ub[:V] = prog.x_ub
     return ScoringTensors(
-        A=jnp.asarray(A),
-        c=jnp.asarray(c),
-        G=jnp.asarray(G),
-        g_lb=jnp.asarray(g_lb),
-        g_ub=jnp.asarray(g_ub),
+        H=jnp.asarray(H),
+        lb=jnp.asarray(lb),
+        ub=jnp.asarray(ub),
         x_ub=jnp.asarray(x_ub),
         num_vars=V,
+        num_residual_rows=R,
     )
 
 
 def score_batch(st: ScoringTensors, x: jnp.ndarray) -> jnp.ndarray:
-    """Score a batch of candidates. x: [..., Vp] float32 (integer-valued).
+    """Score candidates. x: [..., Vp] float32 (integer-valued).
     Returns residual + PENALTY * violation, shape [...]."""
-    r = jnp.matmul(x, st.A.T, preferred_element_type=jnp.float32) - st.c
-    residual = jnp.sum(jnp.abs(r), axis=-1)
-    gx = jnp.matmul(x, st.G.T, preferred_element_type=jnp.float32)
-    over = jnp.maximum(gx - st.g_ub, 0.0)
-    under = jnp.maximum(st.g_lb - gx, 0.0)
-    # padded hard rows have lb=-inf/ub=+inf; inf - finite = inf, and
-    # max(x - inf, 0) = 0, so padding contributes nothing
-    violation = jnp.sum(over, axis=-1) + jnp.sum(under, axis=-1)
-    return residual + PENALTY * violation
+    hx = jnp.matmul(x, st.H.T, preferred_element_type=jnp.float32)
+    over = jnp.maximum(hx - st.ub, 0.0)
+    under = jnp.maximum(st.lb - hx, 0.0)
+    return jnp.sum(over, axis=-1) + jnp.sum(under, axis=-1)
 
 
 score_batch_jit = jax.jit(score_batch)
 
 
 def residual_only(st: ScoringTensors, x: jnp.ndarray) -> jnp.ndarray:
-    r = jnp.matmul(x, st.A.T, preferred_element_type=jnp.float32) - st.c
-    return jnp.sum(jnp.abs(r), axis=-1)
+    """Epsilon sum alone (no violation penalty)."""
+    R = st.num_residual_rows
+    hx = jnp.matmul(x, st.H[:R].T, preferred_element_type=jnp.float32)
+    return jnp.sum(jnp.abs(hx - st.ub[:R]), axis=-1)
 
 
 # ----------------------------------------------------------------- pallas
 
-def _score_kernel(a_ref, c_ref, g_ref, glb_ref, gub_ref, x_ref, out_ref):
-    """One (block_b, Vp) tile of candidates against the full A/G
-    (resident in VMEM): fused matmul + abs-residual + hinge-violation
-    reduction; the [block_b, R] intermediate never leaves VMEM."""
-    x = x_ref[...]
-    r = jax.lax.dot_general(
-        x,
-        a_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) - c_ref[...]
-    residual = jnp.sum(jnp.abs(r), axis=-1, keepdims=True)
-    gx = jax.lax.dot_general(
-        x,
-        g_ref[...],
+def _score_kernel(h_ref, lb_ref, ub_ref, x_ref, out_ref):
+    """Grid (i, j): candidate tile i vs row tile j. The [block_b,
+    block_r] product stays in VMEM; out accumulates over j."""
+    from jax.experimental import pallas as pl
+
+    jj = pl.program_id(1)
+
+    @pl.when(jj == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    hx = jax.lax.dot_general(
+        x_ref[...],
+        h_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    over = jnp.maximum(gx - gub_ref[...], 0.0)
-    under = jnp.maximum(glb_ref[...] - gx, 0.0)
-    violation = jnp.sum(over, axis=-1, keepdims=True) + jnp.sum(
+    over = jnp.maximum(hx - ub_ref[...], 0.0)
+    under = jnp.maximum(lb_ref[...] - hx, 0.0)
+    out_ref[...] += jnp.sum(over, axis=-1, keepdims=True) + jnp.sum(
         under, axis=-1, keepdims=True
     )
-    out_ref[...] = residual + PENALTY * violation
 
 
-@functools.partial(jax.jit, static_argnames=("block_b",))
-def score_batch_pallas(st: ScoringTensors, x: jnp.ndarray, block_b: int = 512) -> jnp.ndarray:
-    """Pallas-fused scorer. x: [B, Vp] with B a multiple of block_b.
-    Returns [B] scores."""
+@functools.partial(jax.jit, static_argnames=("block_b", "block_r"))
+def score_batch_pallas(
+    st: ScoringTensors, x: jnp.ndarray, block_b: int = 512, block_r: int = 512
+) -> jnp.ndarray:
+    """Pallas-fused scorer. x: [B, Vp], B divisible by block_b, rows
+    divisible by block_r. Returns [B] scores."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, Vp = x.shape
-    R = st.A.shape[0]
-    M = st.G.shape[0]
-    grid = (B // block_b,)
-    # finite stand-ins for +-inf padding bounds keep VMEM math clean
-    big = jnp.float32(3.0e38)
-    g_lb = jnp.maximum(st.g_lb, -big).reshape(1, M)
-    g_ub = jnp.minimum(st.g_ub, big).reshape(1, M)
-    c2 = st.c.reshape(1, R)
+    Rows = st.H.shape[0]
+    grid = (B // block_b, Rows // block_r)
+    lb2 = st.lb.reshape(1, Rows)
+    ub2 = st.ub.reshape(1, Rows)
+    interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         _score_kernel,
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((R, Vp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, Vp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, Vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, Vp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, Vp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )(st.A, c2, st.G, g_lb, g_ub, x)
+        out_specs=pl.BlockSpec((block_b, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(st.H, lb2, ub2, x)
     return out[:, 0]

@@ -137,7 +137,7 @@ def _search(
 
 
 def _seed_population(prog: BfbProgram, st: ScoringTensors, pop: int, seed: int) -> jnp.ndarray:
-    Vp = st.A.shape[1]
+    Vp = st.H.shape[1]
     T = len(prog.pairs)
     X = np.zeros((pop, Vp), dtype=np.float32)
     rng = np.random.default_rng(seed)
@@ -171,25 +171,25 @@ def lp_lower_bound(prog: BfbProgram) -> Optional[float]:
     except Exception:  # pragma: no cover
         return None
     V = prog.num_vars
-    n = prog.n
-    E = 2 * n
+    A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
+    c_res = np.concatenate([prog.c_seg, prog.c_fbi])
+    E = A_res.shape[0]
     N = V + E
     c = np.zeros(N)
     c[V:] = 1.0
     A_ub = []
     b_ub = []
-    for i in range(n):
-        for A, cv, eps in ((prog.A_seg, prog.c_seg, 2 * i), (prog.A_fbi, prog.c_fbi, 2 * i + 1)):
-            row = np.zeros(N)
-            row[:V] = -A[i]
-            row[V + eps] = -1.0
-            A_ub.append(row)
-            b_ub.append(-cv[i])
-            row2 = np.zeros(N)
-            row2[:V] = A[i]
-            row2[V + eps] = -1.0
-            A_ub.append(row2)
-            b_ub.append(cv[i])
+    for i in range(E):
+        row = np.zeros(N)
+        row[:V] = -A_res[i]
+        row[V + i] = -1.0
+        A_ub.append(row)
+        b_ub.append(-c_res[i])
+        row2 = np.zeros(N)
+        row2[:V] = A_res[i]
+        row2[V + i] = -1.0
+        A_ub.append(row2)
+        b_ub.append(c_res[i])
     for r in range(prog.G.shape[0]):
         if np.isfinite(prog.g_ub[r]):
             row = np.zeros(N)

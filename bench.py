@@ -1,0 +1,131 @@
+"""Benchmark: candidate-BFB-structures scored per second per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The workload is the engine's hot kernel — batched scoring of integer
+candidate structures against a representative mid-size fitting program
+(S=32 segments -> 1056 variables) — on the default JAX device.
+
+Timing is honest against async-dispatch runtimes: the scoring loop
+runs inside one jitted lax.fori_loop whose candidate batch is mutated
+each iteration from the previous scores (a data dependence XLA cannot
+factor out), and the wall clock includes fetching the result to host.
+
+vs_baseline is measured against a freshly compiled single-core
+-O3 -march=native -ffast-math C++ scorer (native/score_baseline.cpp)
+doing the same arithmetic on the *unpadded* program, standing in for
+the reference's single-threaded C++.
+"""
+
+import json
+import os
+import struct
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def build_workload(n_segments=32, batch=4096):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _demo_program
+    from ambigram_tpu.solver.score import scoring_tensors
+
+    prog = _demo_program(n_segments)
+    st = scoring_tensors(prog)
+    rng = np.random.default_rng(0)
+    Vp = st.H.shape[1]
+    X = np.zeros((batch, Vp), dtype=np.float32)
+    X[:, : prog.num_vars] = rng.integers(0, 3, size=(batch, prog.num_vars))
+    return prog, st, X
+
+
+def bench_device(st, X, iters=200):
+    import jax
+    import jax.numpy as jnp
+
+    from ambigram_tpu.solver.score import score_batch
+
+    Xj = jax.device_put(X)
+    B, Vp = X.shape
+    col = jnp.arange(Vp, dtype=jnp.float32)
+
+    def chained(X0):
+        def body(i, carry):
+            X, acc = carry
+            s = score_batch(st, X)
+            # data-dependent integer-ish mutation: cannot be hoisted
+            bump = jnp.where((s[:, None] + col + i) % 7.0 < 1.0, 1.0, 0.0)
+            X = jnp.minimum(X + bump, st.x_ub)
+            return X, acc + jnp.sum(s)
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (X0, jnp.float32(0)))
+        return acc
+
+    f = jax.jit(chained)
+    checksum = float(f(Xj))  # warmup + compile + fetch
+    t0 = time.perf_counter()
+    checksum = float(f(Xj))
+    secs = time.perf_counter() - t0
+    return B * iters / secs, checksum
+
+
+def bench_baseline(prog, X, iters=2):
+    """Compile and run the single-core C++ scorer on the unpadded
+    program with a reduced batch."""
+    from ambigram_tpu.solver.score import PENALTY
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(root, "native", "score_baseline.cpp")
+    exe = os.path.join(tempfile.gettempdir(), "ambigram_score_baseline")
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        subprocess.run(["g++", "-O3", "-march=native", "-ffast-math", "-funroll-loops", "-o", exe, src], check=True)
+    big = np.float32(3.0e38)
+    A = np.concatenate([prog.A_seg, prog.A_fbi], axis=0).astype(np.float32)
+    c = np.concatenate([prog.c_seg, prog.c_fbi]).astype(np.float32)
+    H = np.concatenate([A, (PENALTY * prog.G).astype(np.float32)], axis=0)
+    lb = np.concatenate([c, np.maximum(PENALTY * prog.g_lb, -big).astype(np.float32)])
+    ub = np.concatenate([c, np.minimum(PENALTY * prog.g_ub, big).astype(np.float32)])
+    V = prog.num_vars
+    B = min(X.shape[0], 256)
+    Xb = np.ascontiguousarray(X[:B, :V], dtype=np.float32)
+    with tempfile.NamedTemporaryFile(suffix=".bin", delete=False) as f:
+        f.write(struct.pack("<4i", H.shape[0], V, B, iters))
+        for arr in (H, lb, ub, Xb):
+            f.write(np.ascontiguousarray(arr, dtype=np.float32).tobytes())
+        path = f.name
+    try:
+        out = subprocess.run(
+            [exe, path], check=True, capture_output=True, text=True, timeout=600
+        ).stdout.split()
+        return float(out[0])
+    finally:
+        os.unlink(path)
+
+
+def main():
+    prog, st, X = build_workload()
+    device_cps, _checksum = bench_device(st, X)
+    try:
+        base_cps = bench_baseline(prog, X)
+        vs = device_cps / base_cps
+    except Exception as e:  # pragma: no cover
+        print("baseline failed: %s" % e, file=sys.stderr)
+        base_cps, vs = 0.0, 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "bfb_candidates_scored_per_sec_per_chip",
+                "value": round(device_cps, 1),
+                "unit": "candidates/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,7 +72,7 @@ def test_score_batch_matches_numpy():
     st = scoring_tensors(prog)
     rng = np.random.default_rng(0)
     B = 16
-    Vp = st.A.shape[1]
+    Vp = st.H.shape[1]
     X = np.zeros((B, Vp), dtype=np.float32)
     X[:, : prog.num_vars] = rng.integers(0, 3, size=(B, prog.num_vars))
     scores = np.asarray(score_batch_jit(st, X))
@@ -87,7 +87,7 @@ def test_pallas_scorer_matches_reference_impl():
     st = scoring_tensors(prog)
     rng = np.random.default_rng(1)
     B = 512
-    Vp = st.A.shape[1]
+    Vp = st.H.shape[1]
     X = np.zeros((B, Vp), dtype=np.float32)
     X[:, : prog.num_vars] = rng.integers(0, 2, size=(B, prog.num_vars))
     want = np.asarray(score_batch_jit(st, X))
