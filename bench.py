@@ -53,7 +53,10 @@ def bench_device(st, X, iters=200):
     B, Vp = X.shape
     col = jnp.arange(Vp, dtype=jnp.float32)
 
-    def chained(X0):
+    # st must be an ARGUMENT, not a closure: closed-over tensors become
+    # HLO constants, and serializing them dominates lowering time on
+    # remote-compile backends
+    def chained(st, X0):
         def body(i, carry):
             X, acc = carry
             s = score_batch(st, X)
@@ -66,9 +69,9 @@ def bench_device(st, X, iters=200):
         return acc
 
     f = jax.jit(chained)
-    checksum = float(f(Xj))  # warmup + compile + fetch
+    checksum = float(f(st, Xj))  # warmup + compile + fetch
     t0 = time.perf_counter()
-    checksum = float(f(Xj))
+    checksum = float(f(st, Xj))
     secs = time.perf_counter() - t0
     return B * iters / secs, checksum
 
