@@ -1,0 +1,345 @@
+"""BFB case simulation.
+
+Two layers:
+
+1. `simulate_bfb_case` — a pure-Python generator that *plays the BFB
+   process itself* (break - fusion - bridge rounds on a chromosome
+   arm) and emits the ground-truth haplotype plus every derived input
+   file (SV table, SEG table, LH, JUNCS). This replaces the reference's
+   aligner-dependent simulation chain for testing and benchmarking
+   (reference equivalents: script/bfb_scripts.py simulate_* and
+   script/simu.py, which need wgsim/bwa/pbsim/LRSIM to run).
+
+2. `simulate_*_commands` — the external-tool recipes from
+   bfb_scripts.py:51-208 (PE via wgsim+bwa+svaba, PB via pbsim3+ngmlr+
+   sniffles, ONT, 10x via LRSIM), emitted as argv lists and gated on
+   tool availability, for users with the aligners installed.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Step = Tuple[int, str]  # (segment id, '+'/'-')
+
+
+@dataclass
+class BfbCase:
+    n_segments: int
+    truth_path: List[Step]
+    seg_cn: np.ndarray  # [n] per-segment multiplicity in the truth path
+    fbi: Dict[int, int]  # fold anchor segment -> count
+    coverage: float
+    lh_text: str
+    sv_text: str
+    seg_text: str
+    juncs_lines: List[str] = field(default_factory=list)
+
+    @property
+    def truth_string(self) -> str:
+        out = []
+        for k, (seg, d) in enumerate(self.truth_path):
+            out.append("%d%s" % (seg, d))
+            if k + 1 < len(self.truth_path) and self.truth_path[k + 1][1] != d:
+                out.append("|")
+        return "".join(out)
+
+
+def bfb_process(
+    rng: np.random.Generator, n_segments: int, rounds: int
+) -> List[Step]:
+    """Run `rounds` break-fusion-bridge cycles on the arm 1..n.
+
+    The path starts as 1..n (toward the telomere). Each round breaks
+    the current path at a uniformly random position, keeps the
+    centromeric prefix, and fuses on its reverse complement (the
+    bridge). The final path is re-capped with the distal arm segment
+    run so it terminates at a telomere."""
+    path: List[Step] = [(i, "+") for i in range(1, n_segments + 1)]
+    for _ in range(rounds):
+        # break after position b (1 <= b < len), keep prefix
+        b = int(rng.integers(1, len(path)))
+        prefix = path[:b]
+        mirrored = [(seg, "-" if d == "+" else "+") for seg, d in reversed(prefix)]
+        path = prefix + mirrored
+        # the mirrored half ends at the centromere side; re-extend
+        # toward the telomere so the next break has material
+        last_seg, last_dir = path[-1]
+        if last_dir == "-" and last_seg == 1:
+            # reached the centromere: continue on the other strand
+            path = path + [(i, "+") for i in range(1, n_segments + 1)]
+    # final cap: if the path ends mid-arm on '+', run out to n
+    last_seg, last_dir = path[-1]
+    if last_dir == "+" and last_seg < n_segments:
+        path = path + [(i, "+") for i in range(last_seg + 1, n_segments + 1)]
+    elif last_dir == "-" and last_seg > 1:
+        path = path + [(i, "-") for i in range(last_seg - 1, 0, -1)]
+    return path
+
+
+def random_nested_chain(
+    rng: np.random.Generator, n_segments: int, max_depth: int = 5
+) -> List[Tuple[int, int]]:
+    """A strictly nested loop chain (each child shares one endpoint
+    with its parent and is strictly shorter), the structure family the
+    reference's ILP hierarchy constraints represent exactly — cf. the
+    EGFR example's chain l(1,6) > l(2,6) > l(2,4) > l(3,4)."""
+    a, b = 1, n_segments
+    chain = [(a, b)]
+    for _ in range(max_depth - 1):
+        if b - a < 1:
+            break
+        if rng.random() < 0.5:
+            # shrink the right endpoint, keep a
+            b = int(rng.integers(a, b))
+        else:
+            a = int(rng.integers(a + 1, b + 1))
+        chain.append((a, b))
+        if rng.random() < 0.25:
+            break
+    return chain
+
+
+def chain_to_path(chain: List[Tuple[int, int]]) -> List[Step]:
+    """Replay a nested loop chain through the engine's own DAG + splice
+    machinery to get the canonical truth path."""
+    from ambigram_tpu.engine.dag import all_topological_orders, construct_dag
+    from ambigram_tpu.engine.enumerate import (
+        enumerate_pairs,
+        pair_index,
+        sorted_key_order,
+    )
+    from ambigram_tpu.engine.path import get_bfb
+    from ambigram_tpu.model.genome import Genome
+
+    start = min(a for a, _ in chain)
+    end = max(b for _, b in chain)
+    n = max(b for _, b in chain)
+    g = Genome()
+    for i in range(1, n + 1):
+        g.add_segment(i, 0, "sim", i * 1000, i * 1000 + 999, 30.0, 1.0, 1.0)
+    pairs = enumerate_pairs(start, end)
+    T = len(pairs)
+    element_cn = np.zeros(2 * T, dtype=np.int64)
+    for a, b in chain:
+        element_cn[T + pair_index(start, end, a, b)] += 1
+    entries = sorted_key_order(pairs)
+    adj, node2pat, node2loop = construct_dag(entries, element_cn)
+    orders = [o for o in all_topological_orders(adj) if o]
+    path = get_bfb(g, orders, node2pat, node2loop, {}, False, False)
+    return [(v.id, v.dir) for v in path]
+
+
+def path_stats(path: List[Step], n_segments: int) -> Tuple[np.ndarray, Dict[int, int]]:
+    seg_cn = np.zeros(n_segments, dtype=np.int64)
+    fbi: Dict[int, int] = {}
+    for seg, _d in path:
+        seg_cn[seg - 1] += 1
+    for k in range(len(path) - 1):
+        (s1, d1), (s2, d2) = path[k], path[k + 1]
+        if d1 != d2:
+            anchor = s1
+            fbi[anchor] = fbi.get(anchor, 0) + 1
+    return seg_cn, fbi
+
+
+def sample_juncs_fragments(
+    rng: np.random.Generator, path: List[Step], n_fragments: int, min_len: int = 3, max_len: int = 7
+) -> List[str]:
+    """Long-read style evidence: random subpaths of the truth path,
+    formatted as JUNCS lines ("6+ 6- 5- ...")."""
+    lines = []
+    for _ in range(n_fragments):
+        if len(path) <= min_len:
+            break
+        length = int(rng.integers(min_len, min(max_len, len(path)) + 1))
+        start = int(rng.integers(0, len(path) - length + 1))
+        frag = path[start : start + length]
+        lines.append(" ".join("%d%s" % (s, d) for s, d in frag))
+    return lines
+
+
+def simulate_bfb_case(
+    seed: int = 0,
+    n_segments: int = 8,
+    rounds: int = 3,
+    coverage: float = 30.0,
+    chrom: str = "chr7",
+    seg_len: int = 1000,
+    start_pos: int = 1000,
+    noise: float = 0.0,
+    n_juncs_fragments: int = 0,
+    mode: str = "nested",
+) -> BfbCase:
+    """mode="nested": reference-representable nested loop chains
+    (exactly recoverable). mode="process": raw break-fusion-bridge
+    rounds, which can exceed the reference model's nesting caps."""
+    rng = np.random.default_rng(seed)
+    if mode == "nested":
+        chain = random_nested_chain(rng, n_segments)
+        path = chain_to_path(chain)
+    else:
+        path = bfb_process(rng, n_segments, rounds)
+    seg_cn, fbi = path_stats(path, n_segments)
+
+    # SEG table
+    seg_lines = []
+    for i in range(n_segments):
+        s = start_pos + i * seg_len
+        e = s + seg_len - 1
+        depth = seg_cn[i] * coverage / 2.0
+        if noise:
+            depth = max(0.0, depth * (1.0 + rng.normal(0, noise)))
+        seg_lines.append("%s:%d-%d\t%g" % (chrom, s, e, depth))
+    seg_text = "\n".join(seg_lines) + "\n"
+
+    # SV table: fold-back inversions at their genomic breakpoints
+    sv_lines = [
+        "chrom_5p\tbkpos_5p\tstrand_5p\tchrom_3p\tbkpos_3p\tstrand_3p\tavg_cn"
+    ]
+    junc_records = []
+    for k in range(len(path) - 1):
+        (s1, d1), (s2, d2) = path[k], path[k + 1]
+        if d1 == d2:
+            continue
+        junc_records.append((s1, d1, s2, d2))
+    # aggregate identical junctions
+    agg: Dict[Tuple, int] = {}
+    for rec in junc_records:
+        agg[rec] = agg.get(rec, 0) + 1
+    for (s1, d1, s2, d2), cn in agg.items():
+        seg_s = start_pos + (s1 - 1) * seg_len
+        seg_e = seg_s + seg_len - 1
+        pos1 = seg_e if d1 == "+" else seg_s
+        seg_s2 = start_pos + (s2 - 1) * seg_len
+        seg_e2 = seg_s2 + seg_len - 1
+        pos2 = seg_s2 if d2 == "+" else seg_e2
+        sv_lines.append(
+            "%s\t%d\t%s\t%s\t%d\t%s\t%d" % (chrom, pos1, d1, chrom, pos2, d2, cn)
+        )
+    sv_text = "\n".join(sv_lines) + "\n"
+
+    # LH text (direct, like generate_lh would produce)
+    lh = [
+        "SAMPLE_NAME sim%d" % seed,
+        "AVG_CHR_SEG_DP %g" % coverage,
+        "AVG_WHOLE_HOST_DP %g" % coverage,
+        "AVG_JUNC_DP %g" % coverage,
+        "PURITY 1",
+        "AVG_TUMOR_PLOIDY 2",
+        "PLOIDY 2m1",
+        "VIRUS_START %d" % (n_segments + 1),
+        "SOURCE 1",
+        "SINK %d" % n_segments,
+    ]
+    for i in range(n_segments):
+        s = start_pos + i * seg_len
+        e = s + seg_len - 1
+        depth = seg_cn[i] * coverage / 2.0
+        cn: float = float(seg_cn[i])
+        if noise:
+            depth = max(0.0, depth * (1.0 + rng.normal(0, noise)))
+            cn = -1.0  # let the engine derive CN from depth
+        lh.append("SEG H:%d:%s:%d:%d %g %g" % (i + 1, chrom, s, e, depth, cn))
+    for (s1, d1, s2, d2), cn in agg.items():
+        lh.append(
+            "JUNC H:%d:%s H:%d:%s %g %g U B"
+            % (s1, d1, s2, d2, cn * coverage / 2.0, float(cn))
+        )
+    lh_text = "\n".join(lh) + "\n"
+
+    juncs_lines = sample_juncs_fragments(rng, path, n_juncs_fragments)
+    return BfbCase(
+        n_segments=n_segments,
+        truth_path=path,
+        seg_cn=seg_cn,
+        fbi=fbi,
+        coverage=coverage,
+        lh_text=lh_text,
+        sv_text=sv_text,
+        seg_text=seg_text,
+        juncs_lines=juncs_lines,
+    )
+
+
+def write_case(case: BfbCase, prefix: str) -> Dict[str, str]:
+    paths = {
+        "lh": prefix + ".lh",
+        "sv": prefix + "_sv.txt",
+        "seg": prefix + "_seg.txt",
+        "truth": prefix + "_truth.txt",
+    }
+    open(paths["lh"], "w").write(case.lh_text)
+    open(paths["sv"], "w").write(case.sv_text)
+    open(paths["seg"], "w").write(case.seg_text)
+    open(paths["truth"], "w").write(case.truth_string + "\n")
+    if case.juncs_lines:
+        paths["juncs"] = prefix + ".juncs"
+        open(paths["juncs"], "w").write("\n".join(case.juncs_lines) + "\n")
+    return paths
+
+
+# ------------------------------------------------- external-tool recipes
+
+def simulate_pe_commands(
+    fasta: str,
+    ref: str,
+    sample_name: str = "test",
+    coverage: int = 30,
+    read_length: int = 150,
+    insertion: int = 350,
+    purity: float = 1.0,
+    normal_bam: Optional[str] = None,
+) -> List[List[str]]:
+    """wgsim + bwa + samtools pipeline (bfb_scripts.py:51-92)."""
+    n_pairs = "%d" % (coverage * 3_000_000 // (2 * read_length))
+    cmds = [
+        ["wgsim", "-1", str(read_length), "-2", str(read_length), "-d", str(insertion), "-N", n_pairs, "-e", "0.001", fasta, sample_name + "_1.fq", sample_name + "_2.fq"],
+        ["bwa", "mem", "-t", "8", ref, sample_name + "_1.fq", sample_name + "_2.fq", "-o", sample_name + ".sam"],
+        ["samtools", "sort", sample_name + ".sam", "-o", sample_name + ".bam"],
+        ["samtools", "index", sample_name + ".bam"],
+    ]
+    if purity < 1 and normal_bam:
+        cmds.append(["samtools", "merge", "-f", sample_name + "_mix.bam", sample_name + ".bam", normal_bam])
+    return cmds
+
+
+def simulate_pb_commands(fasta: str, ref: str, sample_name: str = "test", coverage: int = 30) -> List[List[str]]:
+    """pbsim3 + ngmlr pipeline (bfb_scripts.py:93-128)."""
+    return [
+        ["pbsim", "--strategy", "wgs", "--method", "qshmm", "--depth", str(coverage), "--genome", fasta, "--prefix", sample_name],
+        ["ngmlr", "-t", "8", "-r", ref, "-q", sample_name + "_0001.fastq", "-o", sample_name + ".sam", "-x", "pacbio"],
+        ["samtools", "sort", sample_name + ".sam", "-o", sample_name + ".bam"],
+        ["samtools", "index", sample_name + ".bam"],
+    ]
+
+
+def simulate_ont_commands(fasta: str, ref: str, sample_name: str = "test", coverage: int = 30) -> List[List[str]]:
+    """ONT flavor of the long-read pipeline (bfb_scripts.py:129-165)."""
+    cmds = simulate_pb_commands(fasta, ref, sample_name, coverage)
+    cmds[1] = ["ngmlr", "-t", "8", "-r", ref, "-q", sample_name + "_0001.fastq", "-o", sample_name + ".sam", "-x", "ont"]
+    return cmds
+
+
+def simulate_10x_commands(fasta: str, ref: str, sample_name: str = "test", coverage: int = 30) -> List[List[str]]:
+    """LRSIM + longranger pipeline (bfb_scripts.py:166-208)."""
+    return [
+        ["simulateLinkedReads", "-g", fasta, "-p", sample_name, "-x", str(coverage)],
+        ["longranger", "align", "--id=%s" % sample_name, "--fastqs=."],
+    ]
+
+
+def run_commands(cmds: Sequence[Sequence[str]]) -> None:
+    for cmd in cmds:
+        if shutil.which(cmd[0]) is None:
+            raise RuntimeError(
+                "external tool '%s' not found; install it or use "
+                "simulate_bfb_case for aligner-free simulation" % cmd[0]
+            )
+    for cmd in cmds:
+        subprocess.run(list(cmd), check=True)
