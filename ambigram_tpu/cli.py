@@ -20,7 +20,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="ambigram_tpu", description="TPU-native local haplotype constructor"
     )
-    p.add_argument("--op", required=True, choices=["bfb", "sc_bfb"], help="Operate: bfb")
+    p.add_argument(
+        "--op",
+        required=True,
+        choices=["bfb", "sc_bfb", "check", "solve"],
+        help="Operate: bfb / sc_bfb (BFB engine); check / solve "
+        "(legacy balancer + traversal pipeline, reference "
+        "localhap.cpp:24-30)",
+    )
     p.add_argument("--in_lh", required=True, help="Input .lh file (comma list for sc_bfb)")
     p.add_argument("--lp_prefix", default="sample", help="ILP output file prefix")
     p.add_argument(
@@ -56,6 +63,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Skip appending simulation_sv.txt / time.csv",
     )
+    # legacy check/solve options (reference localhap.cpp:24-30)
+    p.add_argument("--out_lh", default="", help="Balanced LH output (op check)")
+    p.add_argument("--hap", default="haploids.txt", help="Haplotype out file (op solve)")
+    p.add_argument("--traversed", default="", help="Traversed path out file (op solve)")
+    p.add_argument("--circuits", default="", help="Circuits out file (op solve)")
+    p.add_argument("--hic_matrix", default="", help="Segment Hi-C matrix file (op solve)")
+    p.add_argument("--tgs_order", default="", help="Long-fragment local order file (op solve)")
     return p
 
 
@@ -79,6 +93,63 @@ def main(argv=None) -> int:
             ledger_dir=None if args.no_ledgers else ".",
             lp_prefix=args.lp_prefix,
         )
+        return 0
+    elif args.op == "check":
+        from ambigram_tpu.legacy.balancer import apply_balance, balance, write_balanced_lh
+        from ambigram_tpu.legacy.juncdb import JunctionDB
+        from ambigram_tpu.legacy.reachability import (
+            add_all_juncs_from_db,
+            check_reachability,
+        )
+        from ambigram_tpu.model.genome import Genome
+
+        g = Genome.from_lh(args.in_lh)
+        g.calculate_hap_depth()
+        g.calculate_copy_num()
+        if args.juncdb:
+            db = JunctionDB(args.juncdb)
+            add_all_juncs_from_db(g, db)
+        unreachable = check_reachability(g)
+        for kind, vs in unreachable.items():
+            for v in vs:
+                print("unreachable (%s): %s" % (kind, v.info()))
+        res = balance(g)
+        apply_balance(g, res)
+        out_lh = args.out_lh or (args.lp_prefix + ".balanced.lh")
+        write_balanced_lh(g, out_lh, original_lh=args.in_lh)
+        print("balanced graph written to %s (objective %.4f)" % (out_lh, res.objective))
+        return 0
+    elif args.op == "solve":
+        from ambigram_tpu.legacy.juncdb import JunctionDB
+        from ambigram_tpu.legacy.reachability import connect_source_sink
+        from ambigram_tpu.legacy.traversal import Traverser
+        from ambigram_tpu.model.genome import Genome
+
+        g = Genome.from_lh(args.in_lh)
+        g.calculate_hap_depth()
+        g.calculate_copy_num()
+        connect_source_sink(g)
+        for j in g.junctions:
+            if j.weight.copy_num < 0:
+                j.weight.set_copy_num(
+                    max(round(j.weight.coverage / max(g.haploid_depth, 1e-9)), 1)
+                )
+        db = JunctionDB(args.juncdb) if args.juncdb else JunctionDB(g.junctions)
+        tr = Traverser(g)
+        if args.hic_matrix:
+            tr.read_hic_matrix(args.hic_matrix)
+        if args.tgs_order:
+            tr.read_long_frags(args.tgs_order)
+        tr.traverse_graph(db)
+        tr.extract_circuits()
+        tr.divide_circuits()
+        tr.generate_haploids()
+        if args.circuits:
+            tr.write_circuits(args.circuits)
+        if args.traversed:
+            tr.write_traversed_paths(args.traversed)
+        tr.write_haploids(args.hap)
+        print("haploids written to %s" % args.hap)
         return 0
     else:
         from ambigram_tpu.engine.sc import run_sc_bfb
