@@ -151,6 +151,60 @@ def expand_breakpoint_path(g: Genome, bkp_path: List[Vertex]) -> VertexPath:
     return path
 
 
+def replay_bfb(
+    g: Genome,
+    adj: List[List[int]],
+    node2pat: List[List[int]],
+    node2loop: List[List[int]],
+    inversions: Dict[int, Junction],
+    is_reversed: bool = False,
+    print_all: bool = False,
+    out=None,
+) -> VertexPath:
+    """Order enumeration + replay, preferring the native engine.
+
+    The C++ engine (native/bfb_replay.cpp) enumerates topological
+    orders lazily and replays incrementally — same first-success result
+    as materializing all orders (differential-tested), without the
+    factorial order list. Falls back to the Python path for
+    print_all mode or when no toolchain is available."""
+    if not print_all:
+        try:
+            from ambigram_tpu.native import native_bfb_replay
+
+            inv_pairs = {
+                seg: (j.source.id, j.target.id) for seg, j in inversions.items()
+            }
+            steps = native_bfb_replay(
+                adj, node2pat, node2loop, inv_pairs, is_reversed=is_reversed
+            )
+        except Exception:
+            steps = None
+        if steps is not None:
+            path = [
+                g.segment_by_id(sid).pos if d > 0 else g.segment_by_id(sid).neg
+                for sid, d in steps
+            ]
+            if path and out is not None:
+                out.write(format_bfb(path) + "\n")
+            return path
+    from ambigram_tpu.engine.dag import all_topological_orders
+
+    orders = [o for o in all_topological_orders(adj) if o]
+    if not orders:
+        return []
+    return get_bfb(
+        g,
+        orders,
+        node2pat,
+        node2loop,
+        inversions,
+        is_reversed=is_reversed,
+        print_all=print_all,
+        out=out,
+    )
+
+
 def get_bfb(
     g: Genome,
     orders: List[List[int]],

@@ -26,7 +26,12 @@ from ambigram_tpu.engine.enumerate import enumerate_pairs, sorted_key_order
 from ambigram_tpu.engine.ilp import BfbProgram, build_bfb_program
 from ambigram_tpu.engine.indel import get_indel_bias, indel_bfb
 from ambigram_tpu.engine.junccn import fbi_bias, get_junc_cn
-from ambigram_tpu.engine.path import expand_breakpoint_path, format_bfb, get_bfb
+from ambigram_tpu.engine.path import (
+    expand_breakpoint_path,
+    format_bfb,
+    get_bfb,
+    replay_bfb,
+)
 from ambigram_tpu.engine.props import BfbProps, parse_bfb_props
 from ambigram_tpu.model.genome import Genome, Junction, Segment, Vertex, VertexPath
 
@@ -201,20 +206,16 @@ def run_bfb(
                     result.target_cn[k] += int(element_cn[T + t]) * 2
         entries = sorted_key_order(pairs)
         adj, node2pat, node2loop = construct_dag(entries, element_cn)
-        orders = all_topological_orders(adj)
-        orders = [o for o in orders if o]  # guard against the empty-DAG case
-        path: VertexPath = []
-        if orders:
-            path = get_bfb(
-                g,
-                orders,
-                node2pat,
-                node2loop,
-                inversions,
-                is_reversed=is_reversed,
-                print_all=print_all,
-                out=out,
-            )
+        path: VertexPath = replay_bfb(
+            g,
+            adj,
+            node2pat,
+            node2loop,
+            inversions,
+            is_reversed=is_reversed,
+            print_all=print_all,
+            out=out,
+        )
         indel_bfb(g, path, start_id, end_id, out=out)
         if props.ins_mode == 1 or props.con_mode == 1:
             from ambigram_tpu.engine.trx import virus_bfb

@@ -26,7 +26,7 @@ from ambigram_tpu.engine.enumerate import sorted_key_order
 from ambigram_tpu.engine.ilp import BfbProgram, build_bfb_program
 from ambigram_tpu.engine.indel import get_indel_bias, indel_bfb
 from ambigram_tpu.engine.junccn import get_junc_cn
-from ambigram_tpu.engine.path import format_bfb, get_bfb
+from ambigram_tpu.engine.path import format_bfb, get_bfb, replay_bfb
 from ambigram_tpu.engine.props import parse_bfb_props
 from ambigram_tpu.model.genome import Genome, VertexPath
 
@@ -184,20 +184,17 @@ def run_sc_bfb(
             element_k = sol.x[k * T2 : (k + 1) * T2]
             entries = sorted_key_order(progs[0].pairs)
             adj, node2pat, node2loop = construct_dag(entries, element_k)
-            orders = [o for o in all_topological_orders(adj) if o]
             inversions_k, _ = get_junc_cn(g, start_id, end_id)
-            path: VertexPath = []
-            if orders:
-                path = get_bfb(
-                    g,
-                    orders,
-                    node2pat,
-                    node2loop,
-                    inversions_k,
-                    is_reversed=is_reversed,
-                    print_all=print_all,
-                    out=out,
-                )
+            path: VertexPath = replay_bfb(
+                g,
+                adj,
+                node2pat,
+                node2loop,
+                inversions_k,
+                is_reversed=is_reversed,
+                print_all=print_all,
+                out=out,
+            )
             indel_bfb(g, path, start_id, end_id, out=out)
             result.paths[k].append(path)
 

@@ -1,0 +1,119 @@
+"""ctypes bridge to the native (C++) runtime components.
+
+Components under native/:
+- bfb_replay.cpp      lazy order-enumeration + path replay (the host
+                      hot loop; reference LGM.cpp:3380-3697)
+- score_baseline.cpp  single-core scorer used by bench.py
+
+Libraries are built on demand with g++ into native/build/ and cached;
+everything degrades gracefully to the pure-Python implementations when
+a toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_ROOT, "native")
+_BUILD_DIR = os.path.join(_NATIVE_DIR, "build")
+_LOCK = threading.Lock()
+_LIBS: Dict[str, Optional[ctypes.CDLL]] = {}
+
+
+def _build_lib(name: str) -> Optional[ctypes.CDLL]:
+    src = os.path.join(_NATIVE_DIR, name + ".cpp")
+    if not os.path.exists(src):
+        return None
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    lib_path = os.path.join(_BUILD_DIR, "lib%s.so" % name)
+    try:
+        if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", lib_path, src],
+                check=True,
+                capture_output=True,
+            )
+        return ctypes.CDLL(lib_path)
+    except Exception:
+        return None
+
+
+def _get_lib(name: str) -> Optional[ctypes.CDLL]:
+    with _LOCK:
+        if name not in _LIBS:
+            _LIBS[name] = _build_lib(name)
+        return _LIBS[name]
+
+
+def replay_available() -> bool:
+    return _get_lib("bfb_replay") is not None
+
+
+def native_bfb_replay(
+    adj: List[List[int]],
+    node2pat: List[List[int]],
+    node2loop: List[List[int]],
+    inversions: Dict[int, Tuple[int, int]],
+    is_reversed: bool = False,
+    max_replays: int = 0,
+) -> Optional[List[Tuple[int, int]]]:
+    """Run the native replay. inversions: seg_id -> (junction source id,
+    junction target id). Returns [(seg_id, dir +1/-1), ...], [] when no
+    order succeeds, or None when the native lib is unavailable."""
+    lib = _get_lib("bfb_replay")
+    if lib is None:
+        return None
+    n = len(adj)
+    if n == 0:
+        return []
+    adj_off = np.zeros(n + 1, dtype=np.int32)
+    flat: List[int] = []
+    for i, nbrs in enumerate(adj):
+        flat.extend(nbrs)
+        adj_off[i + 1] = len(flat)
+    adj_flat = np.asarray(flat, dtype=np.int32) if flat else np.zeros(1, dtype=np.int32)
+    pat = np.full((n, 3), -1, dtype=np.int32)
+    loop = np.full((n, 3), -1, dtype=np.int32)
+    for i in range(n):
+        if node2pat[i]:
+            pat[i] = node2pat[i]
+        if node2loop[i]:
+            loop[i] = node2loop[i]
+    keys = sorted(inversions)
+    inv_key = np.asarray(keys, dtype=np.int32) if keys else np.zeros(1, dtype=np.int32)
+    inv_src = np.asarray([inversions[k][0] for k in keys], dtype=np.int32) if keys else np.zeros(1, dtype=np.int32)
+    inv_tgt = np.asarray([inversions[k][1] for k in keys], dtype=np.int32) if keys else np.zeros(1, dtype=np.int32)
+
+    fn = lib.bfb_replay
+    fn.restype = ctypes.c_int
+    cap = 1 << 20
+    out = np.zeros(cap, dtype=np.int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+    res = fn(
+        ctypes.c_int(n),
+        ptr(adj_off),
+        ptr(adj_flat),
+        ptr(np.ascontiguousarray(pat)),
+        ptr(np.ascontiguousarray(loop)),
+        ctypes.c_int(len(keys)),
+        ptr(inv_key),
+        ptr(inv_src),
+        ptr(inv_tgt),
+        ctypes.c_int(1 if is_reversed else 0),
+        ctypes.c_longlong(max_replays),
+        ptr(out),
+        ctypes.c_int(cap),
+    )
+    if res < 0:
+        return None  # capacity exceeded: fall back to Python
+    return [(int(out[2 * k]), int(out[2 * k + 1])) for k in range(res)]
