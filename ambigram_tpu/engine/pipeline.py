@@ -95,6 +95,7 @@ def run_bfb(
     out=None,
     ledger_dir: Optional[str] = None,
     lp_prefix: str = "sample",
+    presolved: Optional[List] = None,
 ) -> BfbResult:
     begin = time.perf_counter()
     if out is None:
@@ -173,7 +174,10 @@ def run_bfb(
             components=valid_components,
             juncs_info=juncs_info,
         )
-        sol = _solve(prog, solver)
+        if presolved is not None and n < len(presolved) and presolved[n] is not None:
+            sol = presolved[n]
+        else:
+            sol = _solve(prog, solver)
         if sol.status != "optimal":
             path = [g.segment_by_id(i).pos for i in range(start_id, end_id + 1)]
             out.write(format_bfb(path) + "\n")
@@ -296,6 +300,143 @@ def run_bfb(
     if ledger_dir is not None:
         _append_ledgers(result, g, lh_path, juncs_path, ledger_dir, segs, path_len)
     return result
+
+
+def extract_programs(
+    lh_path: str, juncs_path: str = "", juncs_info: bool = False
+) -> List[Optional[BfbProgram]]:
+    """Per-chromosome fitting programs for one case (None where the
+    chromosome is trivial). Mirrors run_bfb's preamble on a private
+    Genome instance."""
+    g = Genome.from_lh(lh_path)
+    g.calculate_hap_depth()
+    g.calculate_copy_num()
+    props = parse_bfb_props(lh_path)
+    original_segs: Dict[Segment, Segment] = {}
+    unused_sv: List[Junction] = []
+    if props.ins_mode == 1:
+        from ambigram_tpu.engine.trx import insert_before_bfb
+
+        g = insert_before_bfb(g, props.ins_chr, original_segs, unused_sv)
+    elif props.con_mode == 1:
+        from ambigram_tpu.engine.trx import concat_before_bfb
+
+        g = concat_before_bfb(g, props.con_chr, original_segs, unused_sv)
+    for i, (src, snk) in enumerate(zip(g.sources, g.sinks)):
+        for seg_id in range(src.id, snk.id + 1):
+            g.segment_by_id(seg_id).partition = i
+    components = read_components(g, original_segs, juncs_path)
+    out: List[Optional[BfbProgram]] = []
+    for n in range(len(g.sinks)):
+        start_id = g.sources[n].id
+        end_id = g.sinks[n].id
+        inversions, junc_cn = get_junc_cn(g, start_id, end_id)
+        bias = fbi_bias(inversions, junc_cn, start_id, end_id)
+        get_indel_bias(g, start_id, end_id)
+        inversion_cn_sum = float(junc_cn[: end_id + 1, 1].sum())
+        valid_components = [
+            c for c in components if g.segment_by_id(c[0]).partition == n
+        ]
+        if abs(inversion_cn_sum) < 1e-6 and not valid_components:
+            out.append(None)
+            continue
+        seg_cn = np.array(
+            [g.segment_by_id(i).weight.copy_num for i in range(start_id, end_id + 1)]
+        )
+        out.append(
+            build_bfb_program(
+                start_id,
+                end_id,
+                seg_cn,
+                junc_cn[start_id : end_id + 1, 1].copy(),
+                sum(s.weight.copy_num for s in g.segments),
+                bias,
+                components=valid_components,
+                juncs_info=juncs_info,
+            )
+        )
+    return out
+
+
+def run_bfb_many(
+    lh_paths: List[str],
+    juncs_paths: Optional[List[str]] = None,
+    juncs_info: bool = False,
+    is_reversed: bool = False,
+    solver: str = "auto",
+    mesh=None,
+    out=None,
+) -> List[BfbResult]:
+    """Batch pipeline: every case's fitting programs are solved in one
+    device-sharded pass (cases data-parallel over the mesh), then each
+    case's host-side replay completes independently.
+
+    This is the TPU-shaped replacement for the reference's serial
+    per-sample invocation loop: throughput scales with chips, and each
+    host of a multi-host slice runs its `host_shard` of the global case
+    list (ambigram_tpu.parallel.distributed)."""
+    juncs_paths = juncs_paths or [""] * len(lh_paths)
+    per_case_progs = [
+        extract_programs(path, juncs, juncs_info)
+        for path, juncs in zip(lh_paths, juncs_paths)
+    ]
+    flat: List[BfbProgram] = []
+    index: List[tuple] = []
+    for i, progs in enumerate(per_case_progs):
+        for n, prog in enumerate(progs):
+            if prog is not None:
+                flat.append(prog)
+                index.append((i, n))
+
+    solutions: Dict[tuple, object] = {}
+    if flat and solver in ("device", "auto"):
+        from ambigram_tpu.parallel.mesh import solve_cases_sharded
+        from ambigram_tpu.solver.exact import SolveResult, solve_exact
+        from ambigram_tpu.solver.search import lp_lower_bound
+
+        best = solve_cases_sharded(flat, mesh=mesh)
+        for (i, n), prog, x in zip(index, flat, best):
+            eps = float(prog.residual_objective(x.astype(np.float64)))
+            vio = float(prog.hard_violation(x.astype(np.float64)))
+            certified = False
+            if vio == 0.0:
+                lb = lp_lower_bound(prog)
+                certified = lb is not None and eps <= lb + 1e-6
+            if certified:
+                solutions[(i, n)] = SolveResult(
+                    x=x, epsilon_sum=eps, objective=eps - prog.bias, status="optimal"
+                )
+            elif solver == "auto":
+                solutions[(i, n)] = solve_exact(prog)
+            else:
+                solutions[(i, n)] = SolveResult(
+                    x=x,
+                    epsilon_sum=eps,
+                    objective=eps - prog.bias,
+                    status="heuristic" if vio == 0 else "error",
+                )
+    elif flat:
+        from ambigram_tpu.solver.exact import solve_exact
+
+        for (i, n), prog in zip(index, flat):
+            solutions[(i, n)] = solve_exact(prog)
+
+    results = []
+    for i, path in enumerate(lh_paths):
+        n_chroms = len(per_case_progs[i])
+        presolved = [solutions.get((i, n)) for n in range(n_chroms)]
+        results.append(
+            run_bfb(
+                path,
+                juncs_path=juncs_paths[i],
+                juncs_info=juncs_info,
+                is_reversed=is_reversed,
+                solver="exact",
+                out=out,
+                presolved=presolved,
+            )
+        )
+    return results
 
 
 def _append_ledgers(

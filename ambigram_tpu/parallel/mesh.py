@@ -88,7 +88,7 @@ def sharded_step(mesh: Mesh):
     move. Returns (X', scores'). "case" shards ride pure data
     parallelism; "model" shards meet in one psum per scoring call.
     """
-    from jax.experimental.shard_map import shard_map
+    shard_map = jax.shard_map
 
     in_specs = (
         P("case", "model", None),  # H rows sharded over model axis
@@ -129,11 +129,15 @@ def solve_cases_sharded(
     progs: Sequence[BfbProgram],
     mesh: Optional[Mesh] = None,
     pop: int = 32,
-    steps: int = 64,
-    n_moves: int = 0,
+    steps: int = 48,
+    rounds: int = 4,
+    seed: int = 0,
 ) -> List[np.ndarray]:
     """Solve a batch of cases data-parallel across the mesh; returns the
-    best integer candidate per case."""
+    best integer candidate per case. Each round runs greedy best-move
+    steps on device, then restarts every member from the per-case best
+    with random kicks (the basin-hopping pattern of
+    ambigram_tpu.solver.search, fanned over the case axis)."""
     if mesh is None:
         mesh = make_mesh()
     case_dim = mesh.devices.shape[0]
@@ -146,19 +150,46 @@ def solve_cases_sharded(
     # neutralizes them), plus the null move
     eye = np.eye(V, dtype=np.float32)
     moves = np.concatenate([np.zeros((1, V), np.float32), eye, -eye], axis=0)
-    if n_moves:
-        moves = moves[:n_moves]
+    rng = np.random.default_rng(seed)
+    x_ub = np.asarray(st.x_ub)
+    # diverse seeds: member 0 zero, rest sparse random loop starts
     X = np.zeros((Cp, pop, V), dtype=np.float32)
+    T = len(progs[0].pairs) if progs else 0
+    for ci in range(Cp):
+        for b in range(1, pop):
+            k = rng.integers(1, 4)
+            idx = rng.integers(0, max(T, 1), size=k)
+            X[ci, b, T + idx] = rng.integers(1, 3, size=k)
+        X[ci] = np.minimum(X[ci], x_ub[ci])
     step = sharded_step(mesh)
-    Xj = jnp.asarray(X)
     moves_j = jnp.asarray(moves)
-    scores = None
-    for _ in range(steps):
-        Xj, scores = step(st.H, st.lb, st.ub, st.x_ub, Xj, moves_j)
-    Xn = np.asarray(Xj)
-    Sn = np.asarray(scores)
+    best_x = np.zeros((Cp, V), dtype=np.float32)
+    best_s = np.full(Cp, np.inf)
+    Xj = jnp.asarray(X)
+    for r in range(rounds):
+        scores = None
+        for _ in range(steps):
+            Xj, scores = step(st.H, st.lb, st.ub, st.x_ub, Xj, moves_j)
+        Xn = np.asarray(Xj)
+        Sn = np.asarray(scores)
+        for ci in range(Cp):
+            b = int(np.argmin(Sn[ci]))
+            if Sn[ci, b] < best_s[ci]:
+                best_s[ci] = Sn[ci, b]
+                best_x[ci] = Xn[ci, b]
+        if r + 1 < rounds:
+            # kick: restart members from the per-case best, bumping only
+            # real (unpadded) variables
+            kick = np.zeros((Cp, pop, V), dtype=np.float32)
+            for ci in range(Cp):
+                nv = padded[ci].num_vars
+                for b in range(1, pop):
+                    k = int(rng.integers(2, 6))
+                    idx = rng.integers(0, nv, size=k)
+                    kick[ci, b, idx] += rng.choice([-2, -1, 1, 2], size=k)
+            Xn = np.clip(best_x[:, None, :] + kick, 0.0, x_ub[:, None, :])
+            Xj = jnp.asarray(Xn)
     out = []
     for i in range(C):
-        b = int(np.argmin(Sn[i]))
-        out.append(np.round(Xn[i, b, : progs[i].num_vars]).astype(np.int64))
+        out.append(np.round(best_x[i, : progs[i].num_vars]).astype(np.int64))
     return out

@@ -1,0 +1,62 @@
+"""Multi-device sharding tests (8-device virtual CPU mesh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+GOLDEN_EGFR6 = (
+    "1+2+3+4+5+6+|6-5-4-3-2-|2+3+4+|4-3-|3+4+|4-3-2-|2+3+4+5+6+|6-5-4-3-2-1-"
+)
+
+
+def test_mesh_shape():
+    import jax
+
+    from ambigram_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("case", "model")
+
+
+def test_sharded_step_matches_local_score():
+    from ambigram_tpu.engine.ilp import build_bfb_program
+    from ambigram_tpu.parallel.mesh import make_mesh, solve_cases_sharded
+
+    seg = np.array([2.0, 4.0, 4.0, 2.0])
+    fbi = np.array([0.0, 1.0, 1.0, 0.0])
+    prog = build_bfb_program(1, 4, seg, fbi, 12, 1)
+    best = solve_cases_sharded([prog] * 4, mesh=make_mesh(), steps=48)
+    for x in best:
+        assert float(prog.hard_violation(x.astype(float))) == 0.0
+        # greedy sharded search should reach a small residual
+        assert float(prog.residual_objective(x.astype(float))) <= 4.0
+
+
+def test_run_bfb_many_batches_cases(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from ambigram_tpu.engine.pipeline import run_bfb, run_bfb_many
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+
+    paths = [os.path.join(DATA, "egfr6.lh")]
+    for seed in (1, 3):
+        case = simulate_bfb_case(seed=seed, n_segments=6)
+        p = write_case(case, "sim%d" % seed)
+        paths.append(p["lh"])
+    results = run_bfb_many(paths, solver="auto")
+    assert results[0].path_strings[0] == GOLDEN_EGFR6
+    # batch results match the single-case pipeline exactly
+    for path, res in zip(paths, results):
+        single = run_bfb(path, solver="exact")
+        assert res.path_strings == single.path_strings
+
+
+def test_host_shard_single_process():
+    from ambigram_tpu.parallel.distributed import host_shard, process_count
+
+    assert process_count() == 1
+    assert host_shard([1, 2, 3]) == [1, 2, 3]
