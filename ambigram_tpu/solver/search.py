@@ -163,7 +163,29 @@ def _pair_idx(prog: BfbProgram, i: int, j: int) -> int:
     return pair_index(prog.start, prog.end, i, j)
 
 
+def half_ceil(x: float, eps: float = 1e-6) -> float:
+    """Round a bound up to the next multiple of 0.5 — every achievable
+    epsilon sum is a half-integer (coefficients are in {0.5, 1, 2})."""
+    import math
+
+    return math.ceil((x - eps) * 2.0) / 2.0
+
+
+def lp_relaxation(prog: BfbProgram):
+    """Solve the LP relaxation; returns (bound, x_fractional) or
+    (None, None)."""
+    res = _lp_solve(prog)
+    if res is None or not res.success:
+        return None, None
+    return float(res.fun), res.x[: prog.num_vars]
+
+
 def lp_lower_bound(prog: BfbProgram) -> Optional[float]:
+    bound, _ = lp_relaxation(prog)
+    return bound
+
+
+def _lp_solve(prog: BfbProgram):
     """LP-relaxation lower bound on the integer epsilon sum (host-side,
     tiny). None if scipy is unavailable or the LP fails."""
     try:
@@ -203,9 +225,7 @@ def lp_lower_bound(prog: BfbProgram) -> Optional[float]:
             b_ub.append(-prog.g_lb[r])
     bounds = [(0, ub) for ub in prog.x_ub] + [(0, None)] * E
     res = linprog(c, A_ub=np.array(A_ub), b_ub=np.array(b_ub), bounds=bounds, method="highs")
-    if not res.success:
-        return None
-    return float(res.fun)
+    return res
 
 
 def solve_device(
@@ -217,17 +237,26 @@ def solve_device(
     certify: bool = True,
 ) -> SolveResult:
     st = scoring_tensors(prog)
-    X0 = _seed_population(prog, st, pop, seed)
+    X0 = np.array(_seed_population(prog, st, pop, seed))  # writable copy
+    # LP-rounding seed: the relaxation is cheap on host and its rounding
+    # is usually at or adjacent to the integer optimum
+    lb, x_frac = lp_relaxation(prog)
+    if x_frac is not None and pop > 3:
+        Vp = st.H.shape[1]
+        for k, member in enumerate((np.round(x_frac), np.floor(x_frac))):
+            xi = np.zeros(Vp, dtype=np.float32)
+            xi[: prog.num_vars] = np.clip(member, 0, prog.x_ub)
+            X0[3 + k if pop > 4 else 3] = xi
     key = jax.random.PRNGKey(seed)
-    best_x, _ = _search(st, X0, key, rounds=rounds, max_sweeps=max_sweeps)
+    best_x, _ = _search(st, jnp.asarray(X0), key, rounds=rounds, max_sweeps=max_sweeps)
     x = np.asarray(best_x)[: prog.num_vars]
     x_int = np.round(x).astype(np.int64)
     eps_sum = float(prog.residual_objective(x_int.astype(np.float64)))
     violation = float(prog.hard_violation(x_int.astype(np.float64)))
     status = "heuristic"
     if violation == 0.0 and certify:
-        lb = lp_lower_bound(prog)
-        if lb is not None and eps_sum <= lb + 1e-6:
+        # the integer optimum is a half-integer >= the LP bound
+        if lb is not None and eps_sum <= half_ceil(lb) + 1e-6:
             status = "optimal"
     elif violation > 0:
         status = "error"
