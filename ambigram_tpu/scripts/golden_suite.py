@@ -1,0 +1,132 @@
+"""Golden-diff suite over the BASELINE configuration list.
+
+Runs every configuration class from /root/repo/BASELINE.md through the
+full pipeline and diffs outputs against expectations:
+
+1. bundled 6-segment chr7/EGFR case (reference README golden string)
+2. simulated PE-WGS BFB cases, 10-30 segments (exact truth recovery)
+3. multi-chromosome + translocation (PROP C2 merge)
+4. 10x linked-read JUNCS evidence
+5. long-read JUNCS + virus integration (PROP I1)
+
+Usage:  python -m ambigram_tpu.scripts.golden_suite [--solver exact|device|auto]
+Prints a JSON report; exit code 0 iff every check passes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from typing import Dict, List
+
+GOLDEN_EGFR6 = (
+    "1+2+3+4+5+6+|6-5-4-3-2-|2+3+4+|4-3-|3+4+|4-3-2-|2+3+4+5+6+|6-5-4-3-2-1-"
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_DATA = os.path.join(_REPO, "tests", "data")
+
+
+def run_suite(solver: str = "exact", workdir: str | None = None) -> Dict:
+    from ambigram_tpu.engine.pipeline import run_bfb
+    from ambigram_tpu.scripts.evaluate import junction_score, multiplicity_diff
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+
+    workdir = workdir or tempfile.mkdtemp(prefix="golden_suite_")
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    checks: List[Dict] = []
+
+    def record(name, ok, seconds, detail=""):
+        checks.append(
+            {"name": name, "ok": bool(ok), "seconds": round(seconds, 3), "detail": detail}
+        )
+
+    try:
+        # 1. bundled EGFR
+        t0 = time.perf_counter()
+        res = run_bfb(os.path.join(_DATA, "egfr6.lh"), solver=solver)
+        record(
+            "egfr6_golden",
+            res.path_strings[0] == GOLDEN_EGFR6,
+            time.perf_counter() - t0,
+            res.path_strings[0],
+        )
+
+        # 2. simulated PE-WGS cases, 10-30 segments
+        for n in (10, 16, 22, 30):
+            case = simulate_bfb_case(seed=n, n_segments=n)
+            paths = write_case(case, "pe%d" % n)
+            t0 = time.perf_counter()
+            res = run_bfb(paths["lh"], solver=solver)
+            diff = multiplicity_diff(case.truth_string, res.path_strings[0])
+            score = junction_score(case.truth_string, res.path_strings[0])
+            record(
+                "pe_wgs_n%d" % n,
+                diff == 0 and score.recall == 1.0,
+                time.perf_counter() - t0,
+                "mult_diff=%d recall=%.2f" % (diff, score.recall),
+            )
+
+        # 3. multi-chromosome + translocation (PROP C2)
+        t0 = time.perf_counter()
+        res = run_bfb(os.path.join(_DATA, "c2_twochrom.lh"), solver=solver)
+        merged = res.merged_path_string
+        record(
+            "multichrom_c2",
+            "3+||6+" in merged and merged.endswith("6+7+8+"),
+            time.perf_counter() - t0,
+            merged,
+        )
+
+        # 4. 10x linked-read JUNCS evidence
+        case = simulate_bfb_case(seed=8, n_segments=8, n_juncs_fragments=5)
+        paths = write_case(case, "tenx")
+        t0 = time.perf_counter()
+        res = run_bfb(paths["lh"], juncs_path=paths["juncs"], juncs_info=True, solver=solver)
+        diff = multiplicity_diff(case.truth_string, res.path_strings[0])
+        record(
+            "tenx_juncs",
+            diff == 0,
+            time.perf_counter() - t0,
+            "mult_diff=%d" % diff,
+        )
+
+        # 5. virus integration (PROP I1) + long-read JUNCS
+        t0 = time.perf_counter()
+        res = run_bfb(os.path.join(_DATA, "i1_virus.lh"), solver=solver)
+        p = res.path_strings[0]
+        record(
+            "virus_i1",
+            "2+||5+" in p and "6+||3+" in p,
+            time.perf_counter() - t0,
+            p,
+        )
+    finally:
+        os.chdir(cwd)
+
+    ok = all(c["ok"] for c in checks)
+    return {
+        "suite": "ambigram_tpu golden",
+        "solver": solver,
+        "ok": ok,
+        "checks": checks,
+        "total_seconds": round(sum(c["seconds"] for c in checks), 3),
+    }
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--solver", default="exact", choices=["exact", "device", "auto"])
+    args = parser.parse_args(argv)
+    report = run_suite(solver=args.solver)
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -91,14 +91,22 @@ def random_nested_chain(
     EGFR example's chain l(1,6) > l(2,6) > l(2,4) > l(3,4)."""
     a, b = 1, n_segments
     chain = [(a, b)]
+    last_side = None
     for _ in range(max_depth - 1):
         if b - a < 1:
             break
-        if rng.random() < 0.5:
-            # shrink the right endpoint, keep a
+        # strictly alternate which endpoint shrinks: two consecutive
+        # same-side shrinks make both results children of the same
+        # ancestor and break the model's l + sum(children) <= 2 cap
+        if last_side is None:
+            side = "right" if rng.random() < 0.5 else "left"
+        else:
+            side = "left" if last_side == "right" else "right"
+        if side == "right":
             b = int(rng.integers(a, b))
         else:
             a = int(rng.integers(a + 1, b + 1))
+        last_side = side
         chain.append((a, b))
         if rng.random() < 0.25:
             break
