@@ -55,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--solver",
         default="exact",
-        choices=["exact", "device", "auto"],
+        choices=["exact", "device", "auto", "native"],
         help="ILP solver backend (default: exact, in-process)",
     )
     p.add_argument(

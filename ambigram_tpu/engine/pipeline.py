@@ -73,13 +73,26 @@ def _solve(prog: BfbProgram, solver: str):
         from ambigram_tpu.solver.search import solve_device
 
         return solve_device(prog)
-    # auto: device search verified against its own certificate, exact
-    # fallback when unproven
+    if solver == "native":
+        from ambigram_tpu.solver.native_bnb import solve_native
+
+        res = solve_native(prog)
+        if res is None:
+            raise RuntimeError("native B&B solver unavailable (no C++ toolchain)")
+        return res
+    # auto: device search verified against its own certificate; when
+    # unproven, the native B&B (warm-started from the device incumbent)
+    # settles it, with the scipy MILP as the last fallback.
     from ambigram_tpu.solver.search import solve_device
 
     res = solve_device(prog)
     if res.status == "optimal":
         return res
+    from ambigram_tpu.solver.native_bnb import solve_native
+
+    nres = solve_native(prog, warm=res)
+    if nres is not None and nres.status in ("optimal", "infeasible"):
+        return nres
     from ambigram_tpu.solver.exact import solve_exact
 
     return solve_exact(prog)

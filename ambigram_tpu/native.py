@@ -56,6 +56,70 @@ def replay_available() -> bool:
     return _get_lib("bfb_replay") is not None
 
 
+def bnb_available() -> bool:
+    return _get_lib("bnb_solver") is not None
+
+
+def native_bnb(
+    H: np.ndarray,
+    lb: np.ndarray,
+    ub: np.ndarray,
+    n_res: int,
+    x_ub: np.ndarray,
+    order: np.ndarray,
+    warm_x: Optional[np.ndarray] = None,
+    warm_eps: float = 1e300,
+    node_cap: int = 20_000_000,
+):
+    """Run the native exact branch-and-bound. Returns
+    (x, eps, proven_optimal, nodes) or None when unavailable."""
+    lib = _get_lib("bnb_solver")
+    if lib is None:
+        return None
+    n_rows, V = H.shape
+    H64 = np.ascontiguousarray(H, dtype=np.float64)
+    lb64 = np.ascontiguousarray(lb, dtype=np.float64)
+    ub64 = np.ascontiguousarray(ub, dtype=np.float64)
+    xub32 = np.ascontiguousarray(x_ub, dtype=np.int32)
+    ord32 = np.ascontiguousarray(order, dtype=np.int32)
+    warm32 = (
+        np.ascontiguousarray(warm_x, dtype=np.int32)
+        if warm_x is not None
+        else np.zeros(V, dtype=np.int32)
+    )
+    out_x = np.zeros(V, dtype=np.int32)
+    out_eps = ctypes.c_double(0.0)
+    out_nodes = ctypes.c_longlong(0)
+    fn = lib.bfb_bnb
+    fn.restype = ctypes.c_int
+
+    def dptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    def iptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+    rc = fn(
+        ctypes.c_int(n_rows),
+        ctypes.c_int(n_res),
+        ctypes.c_int(V),
+        dptr(H64),
+        dptr(lb64),
+        dptr(ub64),
+        iptr(xub32),
+        iptr(ord32),
+        iptr(warm32) if warm_x is not None else None,
+        ctypes.c_double(warm_eps),
+        ctypes.c_longlong(node_cap),
+        iptr(out_x),
+        ctypes.byref(out_eps),
+        ctypes.byref(out_nodes),
+    )
+    if rc < 0:
+        return None
+    return out_x.astype(np.int64), float(out_eps.value), rc == 1, int(out_nodes.value)
+
+
 def native_bfb_replay(
     adj: List[List[int]],
     node2pat: List[List[int]],

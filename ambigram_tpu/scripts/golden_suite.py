@@ -121,7 +121,7 @@ def run_suite(solver: str = "exact", workdir: str | None = None) -> Dict:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--solver", default="exact", choices=["exact", "device", "auto"])
+    parser.add_argument("--solver", default="exact", choices=["exact", "device", "auto", "native"])
     args = parser.parse_args(argv)
     report = run_suite(solver=args.solver)
     print(json.dumps(report, indent=2))

@@ -119,3 +119,64 @@ def test_device_search_matches_exact_random(seed):
     res_dev = solve_device(prog)
     assert float(prog.hard_violation(res_dev.x.astype(float))) == 0.0
     assert res_dev.epsilon_sum == pytest.approx(res_exact.epsilon_sum, abs=1e-6)
+
+
+def _bnb_or_skip():
+    from ambigram_tpu.native import bnb_available
+
+    if not bnb_available():
+        pytest.skip("native bnb_solver unavailable (no C++ toolchain)")
+
+
+def test_native_bnb_egfr6_matches_exact():
+    _bnb_or_skip()
+    from ambigram_tpu.solver.native_bnb import solve_native
+
+    prog = _egfr_prog()
+    res = solve_native(prog)
+    assert res is not None and res.status == "optimal"
+    assert res.epsilon_sum == pytest.approx(1.0)
+    assert float(prog.hard_violation(res.x.astype(float))) == 0.0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_native_bnb_matches_exact_random(seed):
+    _bnb_or_skip()
+    from ambigram_tpu.solver.native_bnb import solve_native
+
+    rng = np.random.default_rng(seed + 100)
+    prog = _random_prog(rng, n=rng.integers(4, 8))
+    res_exact = solve_exact(prog)
+    assert res_exact.status == "optimal"
+    res = solve_native(prog)
+    assert res is not None and res.status == "optimal"
+    assert res.epsilon_sum == pytest.approx(res_exact.epsilon_sum, abs=1e-6)
+    assert float(prog.hard_violation(res.x.astype(float))) == 0.0
+
+
+def test_native_bnb_warm_start_from_device_search():
+    _bnb_or_skip()
+    from ambigram_tpu.solver.native_bnb import solve_native
+
+    prog = _egfr_prog()
+    warm = solve_device(prog)
+    res = solve_native(prog, warm=warm)
+    assert res is not None and res.status == "optimal"
+    assert res.epsilon_sum == pytest.approx(1.0)
+
+
+def test_native_bnb_node_cap_reports_heuristic():
+    _bnb_or_skip()
+    from ambigram_tpu.solver.native_bnb import solve_native
+
+    rng = np.random.default_rng(7)
+    prog = _random_prog(rng, n=7)
+    warm = solve_device(prog)
+    res = solve_native(prog, warm=warm, node_cap=3)
+    assert res is not None
+    # warm incumbent is kept but the search was truncated
+    assert res.status == "heuristic"
+    assert res.epsilon_sum == pytest.approx(warm.epsilon_sum, abs=1e-6)
+    # without any incumbent the truncated search is inconclusive, not infeasible
+    res2 = solve_native(prog, node_cap=3)
+    assert res2 is not None and res2.status == "error"
