@@ -80,16 +80,22 @@ def _solve(prog: BfbProgram, solver: str):
         if res is None:
             raise RuntimeError("native B&B solver unavailable (no C++ toolchain)")
         return res
-    # auto: device search verified against its own certificate; when
-    # unproven, the native B&B (warm-started from the device incumbent)
-    # settles it, with the scipy MILP as the last fallback.
+    # auto: pick by size. Small programs close in milliseconds in the
+    # native B&B, so run it first and skip the device entirely (avoids
+    # paying a jit compile for one tiny case). Larger programs use the
+    # device search for a strong incumbent + LP certificate, then the
+    # warm-started B&B, then the scipy MILP as the exactness anchor.
+    from ambigram_tpu.solver.native_bnb import solve_native
+
+    if prog.num_vars <= 128:
+        nres = solve_native(prog, node_cap=5_000_000)
+        if nres is not None and nres.status in ("optimal", "infeasible"):
+            return nres
     from ambigram_tpu.solver.search import solve_device
 
     res = solve_device(prog)
     if res.status == "optimal":
         return res
-    from ambigram_tpu.solver.native_bnb import solve_native
-
     nres = solve_native(prog, warm=res)
     if nres is not None and nres.status in ("optimal", "infeasible"):
         return nres
