@@ -164,14 +164,9 @@ def run_sc_bfb(
                 )
             )
         sc_prog = build_sc_program(progs, evolution)
-        if solver == "device":
-            from ambigram_tpu.solver.search import solve_device
+        from ambigram_tpu.engine.pipeline import _solve
 
-            sol = solve_device(sc_prog)
-        else:
-            from ambigram_tpu.solver.exact import solve_exact
-
-            sol = solve_exact(sc_prog)
+        sol = _solve(sc_prog, solver)
         if sol.status not in ("optimal", "heuristic"):
             out.write("ILP is unsolvable.\n")
             for k, g in enumerate(genomes):

@@ -294,3 +294,336 @@ def mergedb(db_paths: Sequence[str], out_path: str) -> str:
         for key in sorted(agg):
             f.write("\t".join(key) + "\t%d\n" % agg[key])
     return out_path
+
+
+def get_fasta(bed_rows: Iterable[Sequence], ref_fasta_path: str, out_fasta: str) -> str:
+    """BED -> one merged, strand-aware `>BFB` sequence
+    (bfb_scripts.py:31-49, replacing the bedtools-getfasta + merge
+    two-step with a direct extraction)."""
+    fasta = read_fasta(ref_fasta_path)
+    seq = extract_bed_sequence(fasta, bed_rows)
+    with open(out_fasta, "w") as f:
+        f.write(">BFB\n%s\n" % seq)
+    return out_fasta
+
+
+# ------------------------------------------------------------- unmap2ins
+
+_SV_COLS = [
+    "chrom_5p",
+    "pos_5p",
+    "strand_5p",
+    "chrom_3p",
+    "pos_3p",
+    "strand_3p",
+    "inner_ins",
+    "span_reads",
+    "junc_reads",
+    "id",
+    "qual",
+    "filter",
+    "meta_info",
+    "anno_info",
+]
+
+
+def read_sv_table(path: str) -> List[Dict[str, object]]:
+    """14-column headerless SV table -> row dicts (main.py:42-46)."""
+    rows: List[Dict[str, object]] = []
+    for line in open(path).read().splitlines():
+        if not line:
+            continue
+        tok = line.split("\t")
+        row: Dict[str, object] = dict(zip(_SV_COLS, tok + [""] * (len(_SV_COLS) - len(tok))))
+        row["pos_5p"] = int(row["pos_5p"])
+        row["pos_3p"] = int(row["pos_3p"])
+        try:
+            row["junc_reads"] = int(row["junc_reads"])
+        except (ValueError, TypeError):
+            pass
+        rows.append(row)
+    return rows
+
+
+def unmap2ins(
+    sv_rows: List[Dict[str, object]], unmapped_str: str, ref_str: str
+) -> List[Dict[str, object]]:
+    """Collapse junction pairs through unmapped contigs into single
+    insertion rows (main.py:20-76): each contig whose name contains
+    `unmapped_str` is replaced by one SV row connecting its reference
+    partners, carrying the contig name in inner_ins and the minimum
+    junction support; reference-only rows (both chroms contain
+    `ref_str`) pass through."""
+    contigs: List[str] = []
+    seen = set()
+    for r in sv_rows:
+        for key in ("chrom_3p", "chrom_5p"):
+            c = str(r[key])
+            if unmapped_str in c and c not in seen:
+                seen.add(c)
+                contigs.append(c)
+    out: List[Dict[str, object]] = []
+    for c in contigs:
+        rows = [r for r in sv_rows if r["chrom_5p"] == c or r["chrom_3p"] == c]
+        uniq5 = {r["chrom_5p"] for r in rows}
+        uniq3 = {r["chrom_3p"] for r in rows}
+        new = dict(rows[0])
+        if len(uniq5) == 1 or len(uniq3) == 1:
+            if len(rows) > 1:
+                other = rows[1]
+                if len(uniq5) == 1:
+                    new["chrom_5p"] = other["chrom_3p"]
+                    new["pos_5p"] = other["pos_3p"]
+                    new["strand_5p"] = "+" if other["strand_3p"] == "-" else "-"
+                else:
+                    new["chrom_3p"] = other["chrom_5p"]
+                    new["pos_3p"] = other["pos_5p"]
+                    new["strand_3p"] = "+" if other["strand_5p"] == "-" else "-"
+        else:
+            into = next(r for r in rows if r["chrom_3p"] == c)
+            outof = next(r for r in rows if r["chrom_5p"] == c)
+            new = dict(into)
+            new["chrom_3p"] = outof["chrom_3p"]
+            new["pos_3p"] = outof["pos_3p"]
+            new["strand_3p"] = outof["strand_3p"]
+        new["inner_ins"] = c
+        new["junc_reads"] = min(r["junc_reads"] for r in rows)
+        out.append(new)
+    for r in sv_rows:
+        if ref_str in str(r["chrom_5p"]) and ref_str in str(r["chrom_3p"]):
+            out.append(r)
+    return out
+
+
+def write_sv_table(rows: List[Dict[str, object]], path: str) -> str:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write("\t".join(str(r[c]) for c in _SV_COLS) + "\n")
+    return path
+
+
+# -------------------------------------------------------------- updateBed
+
+def update_bed(
+    sv_rows: List[Dict[str, object]], bed_rows: List[List[object]]
+) -> List[List[object]]:
+    """Snap BED interval ends to the SV breakpoints that join adjacent
+    path rows (main.py:460-535): for each boundary between rows of
+    different chrom or orientation, find the SV whose two positions
+    fall in the two intervals and overwrite the facing coordinates.
+    bed rows: [chrom, start, end, orientation('forward'/'reverse'),
+    ..., strand('+'/'-')]."""
+    bed = [list(r) for r in bed_rows]
+    for i in range(len(bed) - 1):
+        a, b = bed[i], bed[i + 1]
+        if a[0] == b[0] and a[3] == b[3]:
+            continue
+        for info in sv_rows:
+            chroms = (info["chrom_5p"], info["chrom_3p"])
+            if a[0] not in chroms or b[0] not in chroms:
+                continue
+            p5, p3 = int(info["pos_5p"]), int(info["pos_3p"])
+            in_a5 = a[1] <= p5 <= a[2] and b[1] <= p3 <= b[2]
+            in_a3 = a[1] <= p3 <= a[2] and b[1] <= p5 <= b[2]
+            if not (in_a5 or in_a3):
+                continue
+            if info["strand_5p"] == a[-1] and info["strand_3p"] == b[-1]:
+                pos1, pos2 = p5, p3
+            elif info["strand_3p"] == a[-1] and info["strand_5p"] == b[-1]:
+                pos1, pos2 = p3, p5
+            else:
+                continue
+            if info["chrom_5p"] != info["chrom_3p"]:
+                if a[1] <= p5 <= a[2]:
+                    pos1, pos2 = p5, p3
+                else:
+                    pos1, pos2 = p3, p5
+            if a[3] == "forward":
+                a[2] = pos1
+            else:
+                a[1] = pos1
+            if b[3] == "forward":
+                b[1] = pos2
+            else:
+                b[2] = pos2
+    return bed
+
+
+# ---------------------------------------------------- junction DB update
+
+def update_junc_db_by_sv(
+    sv_rows: List[Dict[str, object]], junc_db: List[Dict[str, object]]
+) -> List[Dict[str, object]]:
+    """Register each SV junction in the DB: new records enter with
+    count 1, existing records gain a count only when junction support
+    exceeds 5 reads (config.py:71-120)."""
+    for row in sv_rows:
+        key_fields = ("chrom_5p", "pos_5p", "strand_5p", "chrom_3p", "pos_3p", "strand_3p")
+        hit = None
+        for rec in junc_db:
+            if all(rec[k] == row[k] for k in key_fields):
+                hit = rec
+                break
+        if hit is None:
+            junc_db.append({k: row[k] for k in key_fields} | {"count": 1})
+        elif int(row.get("junc_reads", 0)) > 5:
+            hit["count"] = int(hit["count"]) + 1
+    return junc_db
+
+
+def update_junc_db_by_seg(
+    segs: List[Tuple[int, str, int, int]],
+    junc_db: List[Dict[str, object]],
+    normal_count,
+    ext: int = 5,
+) -> List[Dict[str, object]]:
+    """Register reference adjacencies whose spanning-read count exceeds
+    5 (config.py:134-185). `normal_count(chrom, pos) -> int` abstracts
+    the BAM fetch (config.py:123-131)."""
+    for seg_id, chrom, start, end in segs[:-1]:
+        n = normal_count(chrom, end)
+        if n <= 5:
+            continue
+        hit = None
+        for rec in junc_db:
+            if (
+                rec["chrom_5p"] == chrom
+                and rec["pos_5p"] == end
+                and rec["strand_5p"] == "+"
+                and rec["chrom_3p"] == chrom
+                and rec["pos_3p"] == end
+                and rec["strand_3p"] == "+"
+            ):
+                hit = rec
+                break
+        if hit is None:
+            junc_db.append(
+                {
+                    "chrom_5p": chrom,
+                    "pos_5p": end,
+                    "strand_5p": "+",
+                    "chrom_3p": chrom,
+                    "pos_3p": end,
+                    "strand_3p": "+",
+                    "count": 1,
+                }
+            )
+        else:
+            hit["count"] = int(hit["count"]) + 1
+    return junc_db
+
+
+def write_junc_db(path: str, junc_db: List[Dict[str, object]]) -> str:
+    """TSV sorted by (chrom_5p, pos_5p, strand_5p, count)
+    (config.py:187-188)."""
+    cols = ["chrom_5p", "pos_5p", "strand_5p", "chrom_3p", "pos_3p", "strand_3p", "count"]
+    rows = sorted(
+        junc_db, key=lambda r: (str(r["chrom_5p"]), int(r["pos_5p"]), str(r["strand_5p"]), int(r["count"]))
+    )
+    with open(path, "w") as f:
+        f.write("\t".join(cols) + "\n")
+        for r in rows:
+            f.write("\t".join(str(r[c]) for c in cols) + "\n")
+    return path
+
+
+def make_normal_counter(bam_path: str, ext: int = 5):  # pragma: no cover
+    """pysam-backed spanning-read counter (config.py:123-131)."""
+    import pysam  # type: ignore
+
+    bam = pysam.AlignmentFile(bam_path)
+
+    def count(chrom: str, pos: int) -> int:
+        n = 0
+        for r in bam.fetch(chrom, pos - 1, pos):
+            if r.get_overlap(max(0, pos - 1 - ext), pos + ext) == pos + ext - (pos - 1 - ext):
+                n += 1
+        return n
+
+    return count
+
+
+# --------------------------------------------------------------- config
+
+def generate_config(
+    filename: str,
+    samplename: str,
+    sv_rows: List[Dict[str, object]],
+    segs: List[Tuple[int, str, int, int]],
+    avg_depth,
+    normal_count,
+    avg_whole_dp: float,
+    ploidy: int = 2,
+) -> str:
+    """Emit the legacy multi-chromosome LH config (config.py:197-349):
+    per-segment depths, reference adjacencies with >5 spanning reads,
+    one JUNC per SV with (left_read+right_read)/2 support, sources and
+    sinks at every chromosome switch, AVG_CHR_SEG_DP from the first
+    chromosome, VIRUS_START at the last source. `avg_depth(chrom,
+    start, end)` and `normal_count(chrom, pos)` abstract the tabix and
+    BAM dependencies."""
+    total_len: Dict[str, float] = {}
+    total_dp: Dict[str, float] = {}
+    output_segs: List[str] = []
+    sources: List[str] = []
+    sinks: List[str] = []
+    preseg = None
+    for seg_id, chrom, start, end in segs:
+        seg_depth = avg_depth(chrom, start, end)
+        total_len[chrom] = total_len.get(chrom, 0.0) + (end - start + 1)
+        total_dp[chrom] = total_dp.get(chrom, 0.0) + seg_depth * (end - start + 1)
+        if preseg is None:
+            sources.append(str(seg_id))
+        elif chrom != preseg[1]:
+            sources.append(str(seg_id))
+            sinks.append(str(preseg[0]))
+        preseg = (seg_id, chrom)
+        output_segs.append("SEG H:%d:%s:%d:%d %s -1" % (seg_id, chrom, start, end, seg_depth))
+    sinks.append(str(len(segs)))
+
+    output_juncs: List[str] = []
+    juncs_depth: List[float] = []
+    left = segs[0]
+    for right in segs[1:]:
+        if left[1] == right[1]:
+            support = normal_count(left[1], left[3])
+            if support > 5:
+                juncs_depth.append(support)
+                output_juncs.append("JUNC H:%d:+ H:%d:+ %s -1 U B" % (left[0], right[0], support))
+        left = right
+
+    def find_seg(chrom, pos, at_end):
+        for s in segs:
+            if s[1] == chrom and (s[3] == pos if at_end else s[2] == pos):
+                return s
+        return None
+
+    for row in sv_rows:
+        s5, s3 = str(row["strand_5p"]), str(row["strand_3p"])
+        p5, p3 = int(row["pos_5p"]), int(row["pos_3p"])
+        lseg = find_seg(row["chrom_5p"], p5, at_end=(s5 == "+"))
+        rseg = find_seg(row["chrom_3p"], p3, at_end=(s3 != s5 if s5 == "+" else s3 == s5))
+        if lseg is None or rseg is None:
+            continue
+        support = (float(row.get("left_read", 0) or 0) + float(row.get("right_read", 0) or 0)) / 2
+        juncs_depth.append(support)
+        output_juncs.append("JUNC H:%d:%s H:%d:%s %s -1 U B" % (lseg[0], s5, rseg[0], s3, support))
+
+    with open(filename, "w") as fout:
+        fout.write("SAMPLE %s\n" % samplename)
+        first_chrom = segs[0][1] if segs else ""
+        avg_chr = (
+            "%s " % (total_dp[first_chrom] / total_len[first_chrom]) if first_chrom else ""
+        )
+        fout.write("AVG_CHR_SEG_DP %s\n" % avg_chr)
+        fout.write("AVG_WHOLE_HOST_DP %s\n" % avg_whole_dp)
+        mean_junc = sum(juncs_depth) / len(juncs_depth) if juncs_depth else 0.0
+        fout.write("AVG_JUNC_DP %s\n" % mean_junc)
+        fout.write("PURITY 1\n")
+        fout.write("AVG_TUMOR_PLOIDY %d\n" % ploidy)
+        fout.write("PLOIDY %dm1\n" % ploidy)
+        fout.write("VIRUS_START %s\n" % sources[-1])
+        fout.write("SOURCE %s\n" % ",".join(sources))
+        fout.write("SINK %s\n" % ",".join(sinks))
+        fout.write("\n".join(output_segs + output_juncs) + "\n")
+    return filename

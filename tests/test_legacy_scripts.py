@@ -211,3 +211,97 @@ def test_segmentation_and_mergedb(tmp_path):
     assert "chr1\t100\t+\tchr1\t200\t+\t5" in text
     assert "chr2\t5\t-\tchr2\t9\t+\t1" in text
     assert HG38_SIZES["chr7"] > 1e8
+
+
+def test_get_fasta(tmp_path):
+    from ambigram_tpu.scripts.legacy_pipeline import get_fasta
+
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1\nACGTTTTTAC\n")
+    out = get_fasta([("chr1", 0, 4, "+"), ("chr1", 4, 8, "-")], str(ref), str(tmp_path / "o.fa"))
+    text = open(out).read()
+    assert text.startswith(">BFB\n")
+    # 0:4 forward = ACGT; 4:8 reverse-complemented: TTTT -> AAAA
+    assert text.splitlines()[1] == "ACGTAAAA"
+
+
+def test_unmap2ins_collapses_contig():
+    from ambigram_tpu.scripts.legacy_pipeline import unmap2ins
+
+    def row(c5, p5, s5, c3, p3, s3, jr):
+        return {
+            "chrom_5p": c5, "pos_5p": p5, "strand_5p": s5,
+            "chrom_3p": c3, "pos_3p": p3, "strand_3p": s3,
+            "inner_ins": ".", "span_reads": 0, "junc_reads": jr,
+            "id": "x", "qual": 0, "filter": "PASS", "meta_info": "", "anno_info": "",
+        }
+
+    rows = [
+        row("chr1", 100, "+", "ctgU1", 5, "+", 8),   # into the contig
+        row("ctgU1", 90, "+", "chr1", 500, "+", 6),  # out of the contig
+        row("chr1", 900, "+", "chr1", 1200, "-", 4), # ref-only row
+    ]
+    out = unmap2ins(rows, "ctgU", "chr")
+    ins = [r for r in out if r["inner_ins"] == "ctgU1"]
+    assert len(ins) == 1
+    # the collapsed row connects chr1:100 -> chr1:500 with min support
+    assert ins[0]["chrom_5p"] == "chr1" and ins[0]["chrom_3p"] == "chr1"
+    assert ins[0]["pos_3p"] == 500 and ins[0]["junc_reads"] == 6
+    assert any(r["pos_5p"] == 900 for r in out)  # ref row passes through
+
+
+def test_update_bed_snaps_boundaries():
+    from ambigram_tpu.scripts.legacy_pipeline import update_bed
+
+    sv = [{
+        "chrom_5p": "chr1", "pos_5p": 150, "strand_5p": "+",
+        "chrom_3p": "chr1", "pos_3p": 260, "strand_3p": "-",
+    }]
+    bed = [
+        ["chr1", 100, 160, "forward", "+"],
+        ["chr1", 250, 300, "reverse", "-"],
+    ]
+    out = update_bed(sv, bed)
+    assert out[0][2] == 150  # forward row end snapped to pos_5p
+    assert out[1][2] == 260  # reverse row end snapped to pos_3p
+
+
+def test_junc_db_updates_and_config(tmp_path):
+    from ambigram_tpu.scripts.legacy_pipeline import (
+        generate_config,
+        update_junc_db_by_seg,
+        update_junc_db_by_sv,
+        write_junc_db,
+    )
+
+    sv = [{
+        "chrom_5p": "chr1", "pos_5p": 200, "strand_5p": "+",
+        "chrom_3p": "chr1", "pos_3p": 400, "strand_3p": "-",
+        "junc_reads": 9, "left_read": 10, "right_read": 14,
+    }]
+    db = update_junc_db_by_sv(sv, [])
+    assert db[0]["count"] == 1
+    db = update_junc_db_by_sv(sv, db)  # existing + support>5 => count bump
+    assert db[0]["count"] == 2
+
+    segs = [(1, "chr1", 100, 200), (2, "chr1", 200, 400), (3, "chrV", 1, 50)]
+    db = update_junc_db_by_seg(segs, db, normal_count=lambda c, p: 7)
+    assert any(r["strand_5p"] == "+" and r["pos_5p"] == 200 and r["chrom_5p"] == "chr1"
+               and r["pos_3p"] == 200 for r in db)
+    path = write_junc_db(str(tmp_path / "db.tsv"), db)
+    assert open(path).read().startswith("chrom_5p\t")
+
+    cfg = generate_config(
+        str(tmp_path / "cfg.lh"), "s1", sv, segs,
+        avg_depth=lambda c, s, e: 100.0,
+        normal_count=lambda c, p: 7,
+        avg_whole_dp=95.0,
+    )
+    text = open(cfg).read()
+    # chromosome switch creates a second source/sink pair; virus start at
+    # the last source
+    assert "SOURCE 1,3\n" in text and "SINK 2,3\n" in text
+    assert "VIRUS_START 3\n" in text
+    assert "JUNC H:1:+ H:2:+ 7 -1 U B" in text       # reference adjacency
+    # strand_5p=+ leaves at the end of the segment ENDING at pos_5p (seg 1)
+    assert "JUNC H:1:+ H:2:- 12.0 -1 U B" in text     # SV junction (mean support)
