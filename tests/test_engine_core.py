@@ -143,3 +143,31 @@ def test_dag_and_orders_egfr6():
     assert adj == [[1], [2], [3], []]
     orders = all_topological_orders(adj)
     assert orders == [[0, 1, 2, 3]]
+
+
+def test_vectorized_program_builder_matches_loop_builder():
+    """The COO-assembled builder must be bit-identical (values, bounds,
+    row order) to the straight-loop reference implementation."""
+    import numpy as np
+
+    from ambigram_tpu.engine.ilp import _build_bfb_program_loops, build_bfb_program
+
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        n = int(rng.integers(1, 11))
+        start = int(rng.integers(1, 6))
+        end = start + n - 1
+        seg = rng.integers(0, 9, size=n).astype(float)
+        fbi = rng.integers(0, 4, size=n).astype(float)
+        comps, ji = None, False
+        if trial % 2 == 0 and n >= 3:
+            comps = [[start, start + 1], [start + 1, end], [start, end]]
+            ji = True
+        p1 = _build_bfb_program_loops(start, end, seg, fbi, seg.sum() + 1, 1, comps, ji)
+        p2 = build_bfb_program(start, end, seg, fbi, seg.sum() + 1, 1, comps, ji)
+        assert np.array_equal(p1.A_seg, p2.A_seg)
+        assert np.array_equal(p1.A_fbi, p2.A_fbi)
+        assert np.array_equal(p1.G, p2.G)
+        assert np.array_equal(p1.g_lb, p2.g_lb)
+        assert np.array_equal(p1.g_ub, p2.g_ub)
+        assert np.array_equal(p1.x_ub, p2.x_ub)
