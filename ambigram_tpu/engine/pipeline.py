@@ -13,6 +13,7 @@ Differences from the reference by design:
 from __future__ import annotations
 
 import io as _io
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -385,6 +386,7 @@ def run_bfb_many(
     solver: str = "auto",
     mesh=None,
     out=None,
+    result_store: Optional[str] = None,
 ) -> List[BfbResult]:
     """Batch pipeline: every case's fitting programs are solved in one
     device-sharded pass (cases data-parallel over the mesh), then each
@@ -393,21 +395,55 @@ def run_bfb_many(
     This is the TPU-shaped replacement for the reference's serial
     per-sample invocation loop: throughput scales with chips, and each
     host of a multi-host slice runs its `host_shard` of the global case
-    list (ambigram_tpu.parallel.distributed)."""
+    list (ambigram_tpu.parallel.distributed).
+
+    `result_store` (a directory) makes the batch idempotent: each
+    completed case writes `<name>-<content-hash>.json` with its durable
+    outputs, and a rerun after a crash skips cases whose result file
+    already exists (returning a summary-only BfbResult for them). The
+    key includes the LH content hash, so edited inputs recompute. This
+    is the per-case checkpoint/resume unit — solver state itself is
+    milliseconds, so nothing finer is worth persisting."""
     juncs_paths = juncs_paths or [""] * len(lh_paths)
-    per_case_progs = [
-        extract_programs(path, juncs, juncs_info)
-        for path, juncs in zip(lh_paths, juncs_paths)
-    ]
+
+    cached: Dict[int, BfbResult] = {}
+    store_keys: Dict[int, str] = {}
+    if result_store:
+        os.makedirs(result_store, exist_ok=True)
+        for i, path in enumerate(lh_paths):
+            store_keys[i] = _case_store_key(path)
+            fn = os.path.join(result_store, store_keys[i] + ".json")
+            if os.path.exists(fn):
+                cached[i] = _result_from_store(fn)
+
+    active = [i for i in range(len(lh_paths)) if i not in cached]
+    per_case_progs: Dict[int, List] = {
+        i: extract_programs(lh_paths[i], juncs_paths[i], juncs_info) for i in active
+    }
     flat: List[BfbProgram] = []
     index: List[tuple] = []
-    for i, progs in enumerate(per_case_progs):
-        for n, prog in enumerate(progs):
+    for i in active:
+        for n, prog in enumerate(per_case_progs[i]):
             if prog is not None:
                 flat.append(prog)
                 index.append((i, n))
 
     solutions: Dict[tuple, object] = {}
+    if flat and solver == "auto":
+        # settle small programs in the native B&B first (milliseconds;
+        # avoids paying a device jit compile when every case is tiny)
+        from ambigram_tpu.solver.native_bnb import solve_native
+
+        remaining: List[BfbProgram] = []
+        remaining_index: List[tuple] = []
+        for key, prog in zip(index, flat):
+            nres = solve_native(prog, node_cap=5_000_000) if prog.num_vars <= 128 else None
+            if nres is not None and nres.status in ("optimal", "infeasible"):
+                solutions[key] = nres
+            else:
+                remaining.append(prog)
+                remaining_index.append(key)
+        flat, index = remaining, remaining_index
     if flat and solver in ("device", "auto"):
         from ambigram_tpu.parallel.mesh import solve_cases_sharded
         from ambigram_tpu.solver.exact import SolveResult, solve_exact
@@ -426,7 +462,19 @@ def run_bfb_many(
                     x=x, epsilon_sum=eps, objective=eps - prog.bias, status="optimal"
                 )
             elif solver == "auto":
-                solutions[(i, n)] = solve_exact(prog)
+                from ambigram_tpu.solver.native_bnb import solve_native
+
+                warm = SolveResult(
+                    x=x.astype(np.int64),
+                    epsilon_sum=eps,
+                    objective=eps - prog.bias,
+                    status="heuristic" if vio == 0 else "error",
+                )
+                nres = solve_native(prog, warm=warm if vio == 0 else None)
+                if nres is not None and nres.status in ("optimal", "infeasible"):
+                    solutions[(i, n)] = nres
+                else:
+                    solutions[(i, n)] = solve_exact(prog)
             else:
                 solutions[(i, n)] = SolveResult(
                     x=x,
@@ -440,22 +488,68 @@ def run_bfb_many(
         for (i, n), prog in zip(index, flat):
             solutions[(i, n)] = solve_exact(prog)
 
-    results = []
+    results: List[Optional[BfbResult]] = [None] * len(lh_paths)
     for i, path in enumerate(lh_paths):
+        if i in cached:
+            results[i] = cached[i]
+            continue
         n_chroms = len(per_case_progs[i])
         presolved = [solutions.get((i, n)) for n in range(n_chroms)]
-        results.append(
-            run_bfb(
-                path,
-                juncs_path=juncs_paths[i],
-                juncs_info=juncs_info,
-                is_reversed=is_reversed,
-                solver="exact",
-                out=out,
-                presolved=presolved,
-            )
+        res = run_bfb(
+            path,
+            juncs_path=juncs_paths[i],
+            juncs_info=juncs_info,
+            is_reversed=is_reversed,
+            solver="exact",
+            out=out,
+            presolved=presolved,
         )
+        results[i] = res
+        if result_store:
+            _result_to_store(
+                os.path.join(result_store, store_keys[i] + ".json"), res
+            )
     return results
+
+
+def _case_store_key(lh_path: str) -> str:
+    import hashlib
+
+    digest = hashlib.sha1(open(lh_path, "rb").read()).hexdigest()[:16]
+    return "%s-%s" % (os.path.basename(lh_path), digest)
+
+
+def _result_to_store(fn: str, res: BfbResult) -> None:
+    import json
+
+    payload = {
+        "path_strings": res.path_strings,
+        "merged_path_string": res.merged_path_string,
+        "target_cn": [int(v) for v in res.target_cn],
+        "ilp_error": res.ilp_error,
+        "num_inversions": res.num_inversions,
+        "is_resolved": res.is_resolved,
+        "seconds": res.seconds,
+    }
+    tmp = fn + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, fn)  # atomic: a crash never leaves a half-written result
+
+
+def _result_from_store(fn: str) -> BfbResult:
+    import json
+
+    payload = json.load(open(fn))
+    return BfbResult(
+        path_strings=payload["path_strings"],
+        merged_path_string=payload["merged_path_string"],
+        target_cn=payload["target_cn"],
+        ilp_error=payload["ilp_error"],
+        num_inversions=payload["num_inversions"],
+        is_resolved=payload["is_resolved"],
+        seconds=payload["seconds"],
+    )
 
 
 def _append_ledgers(

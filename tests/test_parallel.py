@@ -60,3 +60,34 @@ def test_host_shard_single_process():
 
     assert process_count() == 1
     assert host_shard([1, 2, 3]) == [1, 2, 3]
+
+
+def test_run_bfb_many_result_store_idempotent(tmp_path):
+    import json
+    import os
+
+    from ambigram_tpu.engine.pipeline import run_bfb_many
+
+    src = os.path.join(os.path.dirname(__file__), "data", "egfr6.lh")
+    lh = str(tmp_path / "case.lh")
+    open(lh, "w").write(open(src).read())
+    store = str(tmp_path / "store")
+
+    r1 = run_bfb_many([lh], solver="auto", result_store=store)
+    files = os.listdir(store)
+    assert len(files) == 1 and files[0].endswith(".json")
+    golden = "1+2+3+4+5+6+|6-5-4-3-2-|2+3+4+|4-3-|3+4+|4-3-2-|2+3+4+5+6+|6-5-4-3-2-1-"
+    assert r1[0].path_strings == [golden]
+
+    # rerun: served from the store (poison the file to prove it's read)
+    payload = json.load(open(os.path.join(store, files[0])))
+    payload["path_strings"] = ["cached-sentinel"]
+    json.dump(payload, open(os.path.join(store, files[0]), "w"))
+    r2 = run_bfb_many([lh], solver="auto", result_store=store)
+    assert r2[0].path_strings == ["cached-sentinel"]
+
+    # editing the input invalidates the key -> fresh compute
+    open(lh, "a").write("\n")
+    r3 = run_bfb_many([lh], solver="auto", result_store=store)
+    assert r3[0].path_strings == [golden]
+    assert len(os.listdir(store)) == 2
