@@ -627,3 +627,115 @@ def generate_config(
         fout.write("SINK %s\n" % ",".join(sinks))
         fout.write("\n".join(output_segs + output_juncs) + "\n")
     return filename
+
+
+# ------------------------------------------------------------------- CLI
+
+def main(argv=None) -> int:
+    """Subcommand dispatcher mirroring the reference's `script/main.py`
+    surface for the capabilities ported above."""
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="legacy_pipeline")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("vcf2sv")
+    p.add_argument("-v", "--vcf", required=True)
+    p.add_argument("-o", "--output_prefix", required=True)
+
+    p = sub.add_parser("parse_snif_vcf")
+    p.add_argument("-v", "--vcf", required=True)
+    p.add_argument("-o", "--out_sv", required=True)
+
+    p = sub.add_parser("mergedb")
+    p.add_argument("-i", "--in_dbs", required=True, help="comma-separated junction DB TSVs")
+    p.add_argument("-o", "--out_db", required=True)
+
+    p = sub.add_parser("bfb2fasta")
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-b", "--bed_file", required=True)
+    p.add_argument("-o", "--out_fasta", required=True)
+
+    p = sub.add_parser("seg2fasta")
+    p.add_argument("-s", "--seg_file", required=True)
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-o", "--out_fasta", required=True)
+
+    p = sub.add_parser("getFasta")
+    p.add_argument("-b", "--bed_file", required=True)
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("-s", "--sample_name", default="test")
+
+    p = sub.add_parser("unmap2ins")
+    p.add_argument("-f", "--sv_file", required=True)
+    p.add_argument("-u", "--unmapped_common_string", required=True)
+    p.add_argument("-r", "--ref_common_string", required=True)
+    p.add_argument("-o", "--out_sv", required=True)
+
+    p = sub.add_parser("updateBed")
+    p.add_argument("-i", "--in_sv", required=True)
+    p.add_argument("-b", "--bed_file", required=True)
+
+    args = parser.parse_args(argv)
+    if args.cmd == "vcf2sv":
+        vcf2sv(args.vcf, args.output_prefix)
+    elif args.cmd == "parse_snif_vcf":
+        parse_snif_vcf(args.vcf, args.out_sv)
+    elif args.cmd == "mergedb":
+        mergedb(args.in_dbs.split(","), args.out_db)
+    elif args.cmd == "bfb2fasta":
+        bed_rows = [
+            (r.split()[0], int(r.split()[1]), int(r.split()[2]), r.split()[-1][0])
+            for r in open(args.bed_file).read().splitlines()
+            if r.strip()
+        ]
+        bfb2fasta(args.reference, bed_rows, args.out_fasta)
+    elif args.cmd == "seg2fasta":
+        seg2fasta(args.seg_file, args.reference, args.out_fasta)
+    elif args.cmd == "getFasta":
+        bed_rows = [
+            (r.split()[0], int(r.split()[1]), int(r.split()[2]), r.split()[-1][0])
+            for r in open(args.bed_file).read().splitlines()
+            if r.strip()
+        ]
+        get_fasta(bed_rows, args.reference, "%s.fa" % args.sample_name)
+    elif args.cmd == "unmap2ins":
+        rows = read_sv_table(args.sv_file)
+        write_sv_table(
+            unmap2ins(rows, args.unmapped_common_string, args.ref_common_string),
+            args.out_sv,
+        )
+    elif args.cmd == "updateBed":
+        sv_rows = []
+        for line in open(args.in_sv).read().splitlines():
+            if line.startswith("chrom_5p") or not line.strip():
+                continue
+            t = line.split("\t")
+            sv_rows.append(
+                {
+                    "chrom_5p": t[0],
+                    "pos_5p": int(t[1]),
+                    "strand_5p": t[2],
+                    "chrom_3p": t[3],
+                    "pos_3p": int(t[4]),
+                    "strand_3p": t[5],
+                }
+            )
+        bed = []
+        for line in open(args.bed_file).read().splitlines():
+            if not line.strip():
+                continue
+            arr = line.split(" ")
+            bed.append([arr[0], int(arr[1]), int(arr[2])] + arr[3:-1] + [arr[-1][0]])
+        new_bed = update_bed(sv_rows, bed)
+        # in-place rewrite like the reference (main.py:529-535)
+        with open(args.bed_file, "w") as f:
+            for info in new_bed:
+                f.write(" ".join(str(e) for e in info) + " \n")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(main())

@@ -305,3 +305,22 @@ def test_junc_db_updates_and_config(tmp_path):
     assert "JUNC H:1:+ H:2:+ 7 -1 U B" in text       # reference adjacency
     # strand_5p=+ leaves at the end of the segment ENDING at pos_5p (seg 1)
     assert "JUNC H:1:+ H:2:- 12.0 -1 U B" in text     # SV junction (mean support)
+
+
+def test_legacy_pipeline_cli(tmp_path):
+    from ambigram_tpu.scripts.legacy_pipeline import main
+
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1\nACGTTTTTAC\n")
+    bed = tmp_path / "p.bed"
+    bed.write_text("chr1 0 4 forward +\nchr1 4 8 reverse -\n")
+    rc = main(["getFasta", "-b", str(bed), "-r", str(ref), "-s", str(tmp_path / "s1")])
+    assert rc == 0
+    assert open(str(tmp_path / "s1") + ".fa").read().splitlines()[1] == "ACGTAAAA"
+
+    hdr = "chrom_5p\tpos_5p\tstrand_5p\tchrom_3p\tpos_3p\tstrand_3p\tcount\n"
+    db1 = tmp_path / "a.tsv"
+    db1.write_text(hdr + "chr1\t1\t+\tchr1\t2\t+\t1\n")
+    rc = main(["mergedb", "-i", "%s,%s" % (db1, db1), "-o", str(tmp_path / "m.tsv")])
+    assert rc == 0
+    assert "chr1\t1\t+\tchr1\t2\t+\t2" in open(str(tmp_path / "m.tsv")).read()
