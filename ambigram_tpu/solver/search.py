@@ -16,6 +16,14 @@ the exact solver (ambigram_tpu.solver.exact).
 A full device branch-and-bound with PDHG dual bounds is the planned
 follow-up; this module's search is already the throughput path the
 BASELINE metric measures.
+
+Known quality frontier (measured): at S>=48 the +-1 move set plateaus
+well above the LP bound (eps 47.5 vs LP 6 on the synthetic S=48 case)
+— single-variable moves cannot swap a large loop for two smaller ones
+in one step. For scale, that still beats the exact MILP, which finds
+NO feasible point in 240s at that size, but paired same-endpoint moves
+(+1/-1 on loops sharing a boundary, chunk-enumerated like _sweep) are
+the next structural improvement.
 """
 
 from __future__ import annotations
@@ -109,8 +117,10 @@ def _search(
         take = round_best < best_s
         best_x = jnp.where(take, X[idx], best_x)
         best_s = jnp.where(take, round_best, best_s)
-        # kick: every member restarts from the global best with a few
-        # random coordinate bumps (member 0 stays put)
+        # kick: half the population restarts from the global best
+        # (exploitation), the other half from its OWN local minimum
+        # (diversity — a strong early basin must not trap everyone);
+        # member 0 stays exactly at the global best
         key, k1, k2 = jax.random.split(key, 3)
         n_kicks = 4
         vars_ = jax.random.randint(k1, (B, n_kicks), 0, Vp)
@@ -122,7 +132,9 @@ def _search(
             lambda k, v, s: k.at[v].add(s), in_axes=(0, 0, 0)
         )(kick, vars_, signs)
         kick = kick.at[0].set(0.0)
-        X = jnp.clip(best_x[None, :] + kick, 0.0, st.x_ub)
+        from_best = (jnp.arange(B) % 2 == 0)[:, None]
+        base = jnp.where(from_best, best_x[None, :], X)
+        X = jnp.clip(base + kick, 0.0, st.x_ub)
         scores = score_batch(st, X)
         return X, scores, best_x, best_s, key
 
@@ -161,6 +173,58 @@ def _pair_idx(prog: BfbProgram, i: int, j: int) -> int:
     from ambigram_tpu.engine.enumerate import pair_index
 
     return pair_index(prog.start, prog.end, i, j)
+
+
+def greedy_peel_seed(prog: BfbProgram) -> np.ndarray:
+    """Water-level decomposition of the CN profile into loops and
+    patterns — the natural constructive BFB start. Repeatedly take the
+    longest run of residual CN >= 2 and subtract a loop (each loop adds
+    2 per covered segment), then cover remaining runs of 1 with
+    patterns. Ignores the nesting constraints (descent repairs those);
+    lands near the optimum when the profile is loop-decomposable, which
+    is exactly the BFB model."""
+    n = prog.n
+    T = len(prog.pairs)
+    c = prog.c_seg.astype(np.float64).copy()
+    x = np.zeros(prog.num_vars, dtype=np.float32)
+
+    def longest_run(mask: np.ndarray):
+        best = (0, -1, -1)  # (len, i, j)
+        i = 0
+        while i < n:
+            if mask[i]:
+                j = i
+                while j + 1 < n and mask[j + 1]:
+                    j += 1
+                if j - i + 1 > best[0]:
+                    best = (j - i + 1, i, j)
+                i = j + 1
+            else:
+                i += 1
+        return best
+
+    for _ in range(4 * n):  # bounded; each step strictly reduces sum(c)
+        ln, i, j = longest_run(c >= 2.0)
+        if ln == 0:
+            break
+        amount = max(1.0, float(np.floor(c[i : j + 1].min() / 2.0)))
+        t = T + _pair_idx(prog, prog.start + i, prog.start + j)
+        amount = min(amount, float(prog.x_ub[t]) - float(x[t]))
+        if amount < 1.0:
+            break
+        x[t] += amount
+        c[i : j + 1] -= 2.0 * amount
+    for _ in range(2 * n):
+        ln, i, j = longest_run(c >= 1.0)
+        if ln == 0:
+            break
+        t = _pair_idx(prog, prog.start + i, prog.start + j)
+        if x[t] >= prog.x_ub[t]:
+            c[i : j + 1] -= 1.0  # can't cover again; stop revisiting
+            continue
+        x[t] += 1.0
+        c[i : j + 1] -= 1.0
+    return x
 
 
 def half_ceil(x: float, eps: float = 1e-6) -> float:
@@ -238,15 +302,28 @@ def solve_device(
 ) -> SolveResult:
     st = scoring_tensors(prog)
     X0 = np.array(_seed_population(prog, st, pop, seed))  # writable copy
-    # LP-rounding seed: the relaxation is cheap on host and its rounding
-    # is usually at or adjacent to the integer optimum
+    Vp = st.H.shape[1]
+
+    def place(slot: int, member: np.ndarray) -> None:
+        xi = np.zeros(Vp, dtype=np.float32)
+        xi[: prog.num_vars] = np.clip(member, 0, prog.x_ub)
+        X0[slot] = xi
+
+    # constructive seed: greedy loop/pattern peel of the CN profile
+    if pop > 3:
+        place(3, greedy_peel_seed(prog))
+    # LP-rounding seeds: the relaxation is cheap on host and its
+    # roundings cluster around the integer optimum
     lb, x_frac = lp_relaxation(prog)
-    if x_frac is not None and pop > 3:
-        Vp = st.H.shape[1]
-        for k, member in enumerate((np.round(x_frac), np.floor(x_frac))):
-            xi = np.zeros(Vp, dtype=np.float32)
-            xi[: prog.num_vars] = np.clip(member, 0, prog.x_ub)
-            X0[3 + k if pop > 4 else 3] = xi
+    if x_frac is not None and pop > 5:
+        place(4, np.round(x_frac))
+        place(5, np.floor(x_frac))
+        # a few randomized roundings populate the LP basin; the rest of
+        # the population stays random for basin diversity
+        rr = np.random.default_rng(seed + 1)
+        frac = x_frac - np.floor(x_frac)
+        for slot in range(6, min(pop, 10)):
+            place(slot, np.floor(x_frac) + (rr.random(len(x_frac)) < frac))
     key = jax.random.PRNGKey(seed)
     best_x, _ = _search(st, jnp.asarray(X0), key, rounds=rounds, max_sweeps=max_sweeps)
     x = np.asarray(best_x)[: prog.num_vars]

@@ -201,3 +201,25 @@ def test_int8_scoring_path_exact():
     xf = X[:, : prog.num_vars].astype(np.float64)
     want = prog.residual_objective(xf) + PENALTY * prog.hard_violation(xf)
     np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_greedy_peel_seed_decomposes_profile():
+    """On a noiseless loop-decomposable profile the peel seed must fit
+    the segment CNs exactly (zero segment residual)."""
+    from ambigram_tpu.solver.search import greedy_peel_seed
+
+    n = 10
+    T = n * (n + 1) // 2
+    from ambigram_tpu.engine.enumerate import pair_index
+
+    truth = np.zeros(2 * T)
+    for (i, j), cnt in [((1, 10), 2), ((2, 6), 1), ((4, 10), 3)]:
+        truth[T + pair_index(1, n, i, j)] = cnt
+    seg = np.zeros(n)
+    for (i, j), cnt in [((1, 10), 2), ((2, 6), 1), ((4, 10), 3)]:
+        seg[i - 1 : j] += 2 * cnt
+    prog = build_bfb_program(1, n, seg, np.zeros(n), seg.sum(), 1)
+    x = greedy_peel_seed(prog)
+    seg_res = np.abs(x.astype(np.float64) @ prog.A_seg.T - prog.c_seg).sum()
+    assert seg_res == 0.0
+    assert (x >= 0).all() and (x <= prog.x_ub).all()
