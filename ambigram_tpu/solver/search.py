@@ -42,9 +42,11 @@ from ambigram_tpu.solver.score import ScoringTensors, score_batch, scoring_tenso
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _sweep(st: ScoringTensors, X: jnp.ndarray, scores: jnp.ndarray, chunk: int = 128):
-    """One steepest-descent sweep: for each population member, find the
-    best single +-1 move across all variables and apply it if it
-    improves. Returns (X', scores', improved_any)."""
+    """One steepest-descent sweep by full candidate materialization —
+    kept as the differential anchor for `_sweep_delta`, which computes
+    the identical move scores incrementally. For each population
+    member, find the best single +-1 move across all variables and
+    apply it if it improves. Returns (X', scores', improved_any)."""
     B, Vp = X.shape
     n_chunks = Vp // chunk
     var_ids = jnp.arange(Vp).reshape(n_chunks, chunk)
@@ -78,20 +80,195 @@ def _sweep(st: ScoringTensors, X: jnp.ndarray, scores: jnp.ndarray, chunk: int =
     return X_out, s_out, jnp.any(improved)
 
 
-def _descend_loop(st: ScoringTensors, X, scores, max_sweeps: int, chunk: int):
+def _score_from_hx(st: ScoringTensors, hx: jnp.ndarray) -> jnp.ndarray:
+    """Hinge score given precomputed row values hx = x @ H.T."""
+    over = jnp.maximum(hx - st.ub, 0.0)
+    under = jnp.maximum(st.lb - hx, 0.0)
+    return jnp.sum(over, axis=-1) + jnp.sum(under, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _sweep_delta(
+    st: ScoringTensors,
+    X: jnp.ndarray,
+    hx: jnp.ndarray,
+    scores: jnp.ndarray,
+    chunk: int = 128,
+):
+    """`_sweep` computed incrementally: score(x +- e_v) needs only the
+    current row values hx = x @ H.T and the column H[:, v], so one sweep
+    is a [B, Rows, chunk] broadcast-reduce instead of 2*Vp full matmul
+    scorings — ~1000x less arithmetic for the same (bitwise identical:
+    every quantity is an exact small multiple of 0.5 in f32) move
+    scores and the same first-minimum tie-breaking. hx is threaded and
+    updated by the applied move's column. Returns
+    (X', hx', scores', improved_any)."""
+    B, Vp = X.shape
+    n_chunks = Vp // chunk
+    var_ids = jnp.arange(Vp).reshape(n_chunks, chunk)
+
+    def chunk_step(carry, var_block):
+        best_score, best_var, best_sign = carry
+        Hc = st.H[:, var_block]  # [Rows, chunk]
+        base = hx[:, :, None]  # [B, Rows, 1]
+        lb = st.lb[None, :, None]
+        ub = st.ub[None, :, None]
+
+        def hinge_sum(delta):  # delta: [1, Rows, chunk]
+            v = base + delta
+            return jnp.sum(
+                jnp.maximum(v - ub, 0.0) + jnp.maximum(lb - v, 0.0), axis=1
+            )
+
+        s_plus = hinge_sum(Hc[None])  # [B, chunk]
+        s_minus = hinge_sum(-Hc[None])
+        # moves that clip back to X score exactly the current score
+        # (cand = clip(X +- e_v) = X in `_sweep`), so they never win
+        xv = X[:, var_block]
+        ub_v = st.x_ub[var_block][None, :]
+        s_plus = jnp.where(xv + 1.0 > ub_v, scores[:, None], s_plus)
+        s_minus = jnp.where(xv - 1.0 < 0.0, scores[:, None], s_minus)
+        s = jnp.concatenate([s_plus, s_minus], axis=1)  # [B, 2*chunk]
+        idx = jnp.argmin(s, axis=1)
+        val = jnp.take_along_axis(s, idx[:, None], axis=1)[:, 0]
+        var = var_block[idx % chunk]
+        sign = jnp.where(idx < chunk, 1.0, -1.0)
+        better = val < best_score
+        return (
+            jnp.where(better, val, best_score),
+            jnp.where(better, var, best_var),
+            jnp.where(better, sign, best_sign),
+        ), None
+
+    init = (scores, jnp.zeros(B, dtype=jnp.int32), jnp.zeros(B))
+    (best_score, best_var, best_sign), _ = jax.lax.scan(chunk_step, init, var_ids)
+    improved = best_score < scores - 1e-6
+    delta = jax.nn.one_hot(best_var, Vp, dtype=X.dtype) * best_sign[:, None]
+    X_out = jnp.where(improved[:, None], jnp.clip(X + delta, 0.0, st.x_ub), X)
+    col = jnp.take(st.H, best_var, axis=1).T  # [B, Rows]
+    hx_out = jnp.where(improved[:, None], hx + best_sign[:, None] * col, hx)
+    s_out = jnp.where(improved, best_score, scores)
+    return X_out, hx_out, s_out, jnp.any(improved)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _sweep_moves(
+    st: ScoringTensors,
+    X: jnp.ndarray,
+    hx: jnp.ndarray,
+    scores: jnp.ndarray,
+    mv_minus: jnp.ndarray,
+    mv_plus: jnp.ndarray,
+    chunk: int = 128,
+):
+    """Paired-move sweep: each move m transfers one unit from variable
+    mv_minus[m] to mv_plus[m] (endpoint slides l(i,j)->l(i+-1,j)/
+    l(i,j+-1), loop<->pattern transfers). Scored incrementally via the
+    column delta H[:,plus]-H[:,minus]; these moves cross the valleys
+    the +-1 neighborhood cannot (shifting a whole loop boundary is two
+    coupled +-1 moves). Same apply-best-if-improves semantics as
+    `_sweep_delta`."""
+    B, Vp = X.shape
+    M = mv_minus.shape[0]
+    n_chunks = M // chunk
+    move_ids = jnp.arange(M).reshape(n_chunks, chunk)
+
+    def chunk_step(carry, move_block):
+        best_score, best_move = carry
+        mm = mv_minus[move_block]
+        mp = mv_plus[move_block]
+        Dc = st.H[:, mp] - st.H[:, mm]  # [Rows, chunk]
+        v = hx[:, :, None] + Dc[None, :, :]
+        s = jnp.sum(
+            jnp.maximum(v - st.ub[None, :, None], 0.0)
+            + jnp.maximum(st.lb[None, :, None] - v, 0.0),
+            axis=1,
+        )  # [B, chunk]
+        valid = (X[:, mm] >= 1.0) & (X[:, mp] + 1.0 <= st.x_ub[mp][None, :])
+        s = jnp.where(valid, s, scores[:, None])
+        idx = jnp.argmin(s, axis=1)
+        val = jnp.take_along_axis(s, idx[:, None], axis=1)[:, 0]
+        move = move_block[idx]
+        better = val < best_score
+        return (
+            jnp.where(better, val, best_score),
+            jnp.where(better, move, best_move),
+        ), None
+
+    init = (scores, jnp.zeros(B, dtype=jnp.int32))
+    (best_score, best_move), _ = jax.lax.scan(chunk_step, init, move_ids)
+    improved = best_score < scores - 1e-6
+    bm_minus = mv_minus[best_move]
+    bm_plus = mv_plus[best_move]
+    delta = jax.nn.one_hot(bm_plus, Vp, dtype=X.dtype) - jax.nn.one_hot(
+        bm_minus, Vp, dtype=X.dtype
+    )
+    X_out = jnp.where(improved[:, None], X + delta, X)
+    col = (jnp.take(st.H, bm_plus, axis=1) - jnp.take(st.H, bm_minus, axis=1)).T
+    hx_out = jnp.where(improved[:, None], hx + col, hx)
+    s_out = jnp.where(improved, best_score, scores)
+    return X_out, hx_out, s_out, jnp.any(improved)
+
+
+def slide_transfer_moves(prog: BfbProgram, pad_to: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """The paired-move set for `_sweep_moves`: endpoint slides for every
+    pattern and loop, plus loop<->pattern transfers at the same (i,j).
+    Padded with null (0,0) moves (zero delta — never strictly better)."""
+    from ambigram_tpu.engine.enumerate import pair_index
+
+    T = len(prog.pairs)
+    moves = []
+    for t, (i, j) in enumerate(prog.pairs):
+        for off in (0, T):
+            v = off + t
+            for ni, nj in ((i + 1, j), (i - 1, j), (i, j + 1), (i, j - 1)):
+                if prog.start <= ni <= nj <= prog.end:
+                    nb = off + pair_index(prog.start, prog.end, ni, nj)
+                    moves.append((v, nb))
+        moves.append((T + t, t))
+        moves.append((t, T + t))
+    M = ((len(moves) + pad_to - 1) // pad_to) * pad_to if moves else pad_to
+    mv = np.zeros((M, 2), dtype=np.int32)
+    if moves:
+        mv[: len(moves)] = np.asarray(moves, dtype=np.int32)
+    return mv[:, 0], mv[:, 1]
+
+
+def _descend_loop(
+    st: ScoringTensors, X, hx, scores, max_sweeps: int, chunk: int, moves=None
+):
+    """Alternate single-variable and paired-move sweeps until neither
+    improves (or max_sweeps)."""
+
     def cond(state):
-        _, _, improved, it = state
+        _, _, _, improved, it = state
         return jnp.logical_and(improved, it < max_sweeps)
 
     def body(state):
-        X, scores, _, it = state
-        X2, s2, imp = _sweep(st, X, scores, chunk=chunk)
-        return X2, s2, imp, it + 1
+        X, hx, scores, _, it = state
+        X, hx, scores, imp1 = _sweep_delta(st, X, hx, scores, chunk=chunk)
+        if moves is not None:
+            # paired moves only when +-1 descent stalls: they matter at
+            # the basin floor, and this keeps the per-iteration cost of
+            # the long descent phase at one sweep
+            def with_moves(args):
+                X, hx, scores = args
+                return _sweep_moves(st, X, hx, scores, moves[0], moves[1], chunk=chunk)
 
-    X, scores, _, _ = jax.lax.while_loop(
-        cond, body, (X, scores, jnp.bool_(True), jnp.int32(0))
+            def without(args):
+                X, hx, scores = args
+                return X, hx, scores, jnp.bool_(False)
+
+            X, hx, scores, imp2 = jax.lax.cond(
+                imp1, without, with_moves, (X, hx, scores)
+            )
+            imp1 = jnp.logical_or(imp1, imp2)
+        return X, hx, scores, imp1, it + 1
+
+    X, hx, scores, _, _ = jax.lax.while_loop(
+        cond, body, (X, hx, scores, jnp.bool_(True), jnp.int32(0))
     )
-    return X, scores
+    return X, hx, scores
 
 
 @functools.partial(jax.jit, static_argnames=("max_sweeps", "chunk", "rounds"))
@@ -99,6 +276,7 @@ def _search(
     st: ScoringTensors,
     X: jnp.ndarray,
     key: jnp.ndarray,
+    moves: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     rounds: int = 6,
     max_sweeps: int = 256,
     chunk: int = 128,
@@ -106,11 +284,12 @@ def _search(
     """Basin hopping: steepest descent to a local optimum, then restart
     every member from the global best with random +-1/+-2 kicks."""
     B, Vp = X.shape
-    scores = score_batch(st, X)
+    hx = jnp.matmul(X, st.H.T, preferred_element_type=jnp.float32)
+    scores = _score_from_hx(st, hx)
 
     def round_body(i, state):
-        X, scores, best_x, best_s, key = state
-        X, scores = _descend_loop(st, X, scores, max_sweeps, chunk)
+        X, hx, scores, best_x, best_s, key = state
+        X, hx, scores = _descend_loop(st, X, hx, scores, max_sweeps, chunk, moves)
         # fold the round's best into the global best
         idx = jnp.argmin(scores)
         round_best = scores[idx]
@@ -135,16 +314,20 @@ def _search(
         from_best = (jnp.arange(B) % 2 == 0)[:, None]
         base = jnp.where(from_best, best_x[None, :], X)
         X = jnp.clip(base + kick, 0.0, st.x_ub)
-        scores = score_batch(st, X)
-        return X, scores, best_x, best_s, key
+        hx = jnp.matmul(X, st.H.T, preferred_element_type=jnp.float32)
+        scores = _score_from_hx(st, hx)
+        return X, hx, scores, best_x, best_s, key
 
     best_x = X[0]
     best_s = scores[0]
-    X, scores, best_x, best_s, _ = jax.lax.fori_loop(
-        0, rounds, round_body, (X, scores, best_x, best_s, key)
+    X, hx, scores, best_x, best_s, _ = jax.lax.fori_loop(
+        0, rounds, round_body, (X, hx, scores, best_x, best_s, key)
     )
     # final descent from the best point
-    Xf, sf = _descend_loop(st, best_x[None, :], best_s[None], max_sweeps, chunk)
+    hxf = jnp.matmul(best_x[None, :], st.H.T, preferred_element_type=jnp.float32)
+    Xf, _, sf = _descend_loop(
+        st, best_x[None, :], hxf, best_s[None], max_sweeps, chunk, moves
+    )
     return Xf[0], sf[0]
 
 
@@ -325,7 +508,11 @@ def solve_device(
         for slot in range(6, min(pop, 10)):
             place(slot, np.floor(x_frac) + (rr.random(len(x_frac)) < frac))
     key = jax.random.PRNGKey(seed)
-    best_x, _ = _search(st, jnp.asarray(X0), key, rounds=rounds, max_sweeps=max_sweeps)
+    mv_minus, mv_plus = slide_transfer_moves(prog)
+    moves = (jnp.asarray(mv_minus), jnp.asarray(mv_plus))
+    best_x, _ = _search(
+        st, jnp.asarray(X0), key, moves, rounds=rounds, max_sweeps=max_sweeps
+    )
     x = np.asarray(best_x)[: prog.num_vars]
     x_int = np.round(x).astype(np.int64)
     eps_sum = float(prog.residual_objective(x_int.astype(np.float64)))

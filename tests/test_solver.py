@@ -223,3 +223,35 @@ def test_greedy_peel_seed_decomposes_profile():
     seg_res = np.abs(x.astype(np.float64) @ prog.A_seg.T - prog.c_seg).sum()
     assert seg_res == 0.0
     assert (x >= 0).all() and (x <= prog.x_ub).all()
+
+
+@pytest.mark.parametrize("seed", [0, 3, 11])
+def test_sweep_delta_matches_sweep(seed):
+    """The incremental delta sweep must reproduce the materializing
+    sweep exactly: same move scores, same applied moves, same hx."""
+    import jax.numpy as jnp
+
+    from ambigram_tpu.solver.search import _seed_population, _sweep, _sweep_delta
+
+    rng = np.random.default_rng(seed)
+    prog = _random_prog(rng, int(rng.integers(5, 12)))
+    st = scoring_tensors(prog)
+    X = jnp.asarray(_seed_population(prog, st, pop=8, seed=seed))
+    hx = jnp.matmul(X, st.H.T, preferred_element_type=jnp.float32)
+    from ambigram_tpu.solver.search import _score_from_hx
+
+    scores = _score_from_hx(st, hx)
+    # walk several sweeps, checking lockstep agreement
+    Xa, sa = X, scores
+    Xb, hxb, sb = X, hx, scores
+    for _ in range(4):
+        Xa, sa, imp_a = _sweep(st, Xa, sa)
+        Xb, hxb, sb, imp_b = _sweep_delta(st, Xb, hxb, sb)
+        assert bool(imp_a) == bool(imp_b)
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+        np.testing.assert_array_equal(np.asarray(Xa), np.asarray(Xb))
+        np.testing.assert_array_equal(
+            np.asarray(hxb), np.asarray(jnp.matmul(Xb, st.H.T))
+        )
+        if not bool(imp_a):
+            break
