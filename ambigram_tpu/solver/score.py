@@ -200,6 +200,93 @@ def residual_only(st: ScoringTensors, x: jnp.ndarray) -> jnp.ndarray:
 
 # ----------------------------------------------------------------- pallas
 
+def chained_mutate(X, s, i, x_ub):
+    """The benchmark chain's candidate mutation: a data-dependent bump
+    on the first 128 variable lanes (enough to defeat loop hoisting —
+    every iteration scores a batch derived from the previous scores —
+    while keeping the non-scoring VPU work small). Shared by the XLA
+    loop in bench.py and the Pallas kernel so both chains are
+    identical."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1).astype(jnp.float32)
+    s2 = s if s.ndim == 2 else s[:, None]
+    xu = x_ub if x_ub.ndim == 2 else x_ub[None, :]
+    bump = jnp.where((s2 + col + jnp.float32(i)) % 7.0 < 1.0, 1.0, 0.0)
+    head = jnp.minimum(
+        X[:, :128] + bump, jnp.broadcast_to(xu[:, :128], (X.shape[0], 128))
+    )
+    return jnp.concatenate([head, X[:, 128:]], axis=1)
+
+
+def _chained_kernel(h8_ref, lb_ref, ub_ref, w_ref, xub_ref, x_ref, acc_ref, *, iters):
+    """One candidate block's full scoring chain, VMEM-resident: the
+    [block_b, Vp] candidates and the [Rows, Vp] int8 row matrix stay on
+    chip for all `iters` iterations (matmul -> weighted hinges ->
+    data-dependent bump), so HBM sees each candidate exactly once.
+    Semantics identical to bench.py's XLA `chained` loop on the int8
+    scoring path."""
+    xub = xub_ref[...]  # [1, Vp]
+
+    def body(i, carry):
+        X, acc = carry
+        hx = jax.lax.dot_general(
+            X.astype(jnp.int8),
+            h8_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        over = jnp.maximum(hx - jnp.broadcast_to(ub_ref[...], hx.shape), 0.0)
+        under = jnp.maximum(jnp.broadcast_to(lb_ref[...], hx.shape) - hx, 0.0)
+        w = jnp.broadcast_to(w_ref[...], hx.shape)
+        s = jnp.sum(w * (over + under), axis=-1, keepdims=True)  # [block_b, 1]
+        X = chained_mutate(X, s, i, xub)
+        return X, acc + jnp.sum(s)
+
+    _, acc = jax.lax.fori_loop(
+        0, iters, body, (x_ref[...], jnp.float32(0.0))
+    )
+    acc_ref[...] = jnp.full(acc_ref.shape, acc, dtype=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "block_b"))
+def chained_score_pallas(
+    st: ScoringTensors, x: jnp.ndarray, iters: int, block_b: int = 512
+) -> jnp.ndarray:
+    """Chained scoring of x [B, Vp] for `iters` data-dependent
+    iterations (the benchmark workload), fused into one Pallas kernel.
+    Requires the int8-exact program representation (st.use_int8) and
+    B divisible by block_b. Returns the scalar checksum (sum of all
+    scores across iterations)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert st.use_int8, "chained kernel runs on the int8 representation"
+    B, Vp = x.shape
+    Rows = st.H8.shape[0]
+    block_b = min(block_b, B)
+    grid = (B // block_b,)
+    lb2 = st.lb_raw.reshape(1, Rows)
+    ub2 = st.ub_raw.reshape(1, Rows)
+    w2 = st.w.reshape(1, Rows)
+    xub2 = st.x_ub.reshape(1, Vp)
+    interpret = jax.default_backend() != "tpu"
+    acc = pl.pallas_call(
+        functools.partial(_chained_kernel, iters=iters),
+        out_shape=jax.ShapeDtypeStruct((grid[0] * 8, 128), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Rows, Vp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rows), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rows), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Rows), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, Vp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(st.H8, lb2, ub2, w2, xub2, x)
+    return jnp.sum(acc[::8, 0])
+
+
 def _score_kernel(h_ref, lb_ref, ub_ref, x_ref, out_ref):
     """Grid (i, j): candidate tile i vs row tile j. The [block_b,
     block_r] product stays in VMEM; out accumulates over j."""

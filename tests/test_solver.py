@@ -255,3 +255,44 @@ def test_sweep_delta_matches_sweep(seed):
         )
         if not bool(imp_a):
             break
+
+
+def test_chained_pallas_matches_xla_loop():
+    """The fused benchmark kernel must compute the same chain as the
+    XLA fori_loop (small iters, small values => exact f32 sums)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ambigram_tpu.solver.score import (
+        chained_mutate,
+        chained_score_pallas,
+        score_batch,
+    )
+
+    rng = np.random.default_rng(2)
+    prog = _random_prog(rng, 10)
+    prog.x_ub = np.minimum(prog.x_ub, 127)
+    st = scoring_tensors(prog)
+    assert st.use_int8
+    B, Vp = 256, st.H.shape[1]
+    X = np.zeros((B, Vp), dtype=np.float32)
+    X[:, : prog.num_vars] = rng.integers(0, 2, size=(B, prog.num_vars))
+    Xj = jnp.asarray(X)
+    iters = 5
+
+    def chained(st, X0):
+        def body(i, carry):
+            X, acc = carry
+            s = score_batch(st, X)
+            X = chained_mutate(X, s, i, st.x_ub)
+            return X, acc + jnp.sum(s)
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (X0, jnp.float32(0)))
+        return acc
+
+    ref = float(jax.jit(chained)(st, Xj))
+    got = float(chained_score_pallas(st, Xj, iters, block_b=128))
+    # per-candidate scores are exact small integers, so the chains are
+    # identical; the final checksum exceeds 2^24 and its f32 value
+    # depends on accumulation order (per-block vs whole-batch)
+    assert got == pytest.approx(ref, rel=1e-6)
