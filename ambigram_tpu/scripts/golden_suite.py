@@ -106,6 +106,28 @@ def run_suite(solver: str = "exact", workdir: str | None = None) -> Dict:
             time.perf_counter() - t0,
             p,
         )
+
+        # 6. post-BFB insertion (PROP I2) — all four TRX modes covered
+        t0 = time.perf_counter()
+        res = run_bfb(os.path.join(_DATA, "i2_insert.lh"), solver=solver)
+        merged = res.merged_path_string
+        record(
+            "insert_i2",
+            merged == "1+2+3+||5+6+||4+|4-3-2-|2+3+4+",
+            time.perf_counter() - t0,
+            merged,
+        )
+
+        # 7. pre-BFB concatenation (PROP C1) with second-stage SV
+        t0 = time.perf_counter()
+        res = run_bfb(os.path.join(_DATA, "c1_concat.lh"), solver=solver)
+        p = res.path_strings[0]
+        record(
+            "concat_c1",
+            p == "1+2+||5+6+|6-5-||2-|2+||5+6+||3+",
+            time.perf_counter() - t0,
+            p,
+        )
     finally:
         os.chdir(cwd)
 
