@@ -86,10 +86,13 @@ def _solve(prog: BfbProgram, solver: str):
     # paying a jit compile for one tiny case). Larger programs use the
     # device search for a strong incumbent + LP certificate, then the
     # warm-started B&B, then the scipy MILP as the exactness anchor.
+    # Every exact stage is wall-clock bounded so time-to-solution stays
+    # bounded on hard instances; if nothing proves optimality, the best
+    # feasible incumbent across stages wins.
     from ambigram_tpu.solver.native_bnb import solve_native
 
     if prog.num_vars <= 128:
-        nres = solve_native(prog, node_cap=5_000_000)
+        nres = solve_native(prog, node_cap=5_000_000, time_limit_s=2.0)
         if nres is not None and nres.status in ("optimal", "infeasible"):
             return nres
     from ambigram_tpu.solver.search import solve_device
@@ -97,12 +100,27 @@ def _solve(prog: BfbProgram, solver: str):
     res = solve_device(prog)
     if res.status == "optimal":
         return res
-    nres = solve_native(prog, warm=res)
-    if nres is not None and nres.status in ("optimal", "infeasible"):
-        return nres
+    candidates = [res]
+    nres = solve_native(prog, warm=res, time_limit_s=10.0)
+    if nres is not None:
+        if nres.status in ("optimal", "infeasible"):
+            return nres
+        candidates.append(nres)
     from ambigram_tpu.solver.exact import solve_exact
 
-    return solve_exact(prog)
+    eres = solve_exact(prog, time_limit=60.0)
+    if eres.status in ("optimal", "infeasible"):
+        return eres
+    candidates.append(eres)
+    feasible = [
+        c
+        for c in candidates
+        if c.status == "heuristic"
+        and float(prog.hard_violation(c.x.astype(np.float64))) == 0.0
+    ]
+    if feasible:
+        return min(feasible, key=lambda c: c.epsilon_sum)
+    return candidates[0]
 
 
 def run_bfb(
@@ -437,7 +455,11 @@ def run_bfb_many(
         remaining: List[BfbProgram] = []
         remaining_index: List[tuple] = []
         for key, prog in zip(index, flat):
-            nres = solve_native(prog, node_cap=5_000_000) if prog.num_vars <= 128 else None
+            nres = (
+                solve_native(prog, node_cap=5_000_000, time_limit_s=2.0)
+                if prog.num_vars <= 128
+                else None
+            )
             if nres is not None and nres.status in ("optimal", "infeasible"):
                 solutions[key] = nres
             else:
@@ -470,11 +492,28 @@ def run_bfb_many(
                     objective=eps - prog.bias,
                     status="heuristic" if vio == 0 else "error",
                 )
-                nres = solve_native(prog, warm=warm if vio == 0 else None)
+                nres = solve_native(
+                    prog, warm=warm if vio == 0 else None, time_limit_s=10.0
+                )
                 if nres is not None and nres.status in ("optimal", "infeasible"):
                     solutions[(i, n)] = nres
                 else:
-                    solutions[(i, n)] = solve_exact(prog)
+                    eres = solve_exact(prog, time_limit=60.0)
+                    if eres.status in ("optimal", "infeasible"):
+                        solutions[(i, n)] = eres
+                    else:
+                        # no stage proved optimality: best feasible incumbent
+                        pool = [
+                            c
+                            for c in (warm, nres, eres)
+                            if c is not None
+                            and c.status == "heuristic"
+                            and float(prog.hard_violation(c.x.astype(np.float64)))
+                            == 0.0
+                        ]
+                        solutions[(i, n)] = (
+                            min(pool, key=lambda c: c.epsilon_sum) if pool else eres
+                        )
             else:
                 solutions[(i, n)] = SolveResult(
                     x=x,

@@ -70,9 +70,11 @@ def native_bnb(
     warm_x: Optional[np.ndarray] = None,
     warm_eps: float = 1e300,
     node_cap: int = 20_000_000,
+    time_limit_s: float = 0.0,
 ):
-    """Run the native exact branch-and-bound. Returns
-    (x, eps, proven_optimal, nodes) or None when unavailable."""
+    """Run the native exact branch-and-bound. time_limit_s <= 0 means no
+    wall-clock limit. Returns (x, eps, proven_optimal, nodes) or None
+    when unavailable."""
     lib = _get_lib("bnb_solver")
     if lib is None:
         return None
@@ -111,6 +113,7 @@ def native_bnb(
         iptr(warm32) if warm_x is not None else None,
         ctypes.c_double(warm_eps),
         ctypes.c_longlong(node_cap),
+        ctypes.c_double(time_limit_s),
         iptr(out_x),
         ctypes.byref(out_eps),
         ctypes.byref(out_nodes),

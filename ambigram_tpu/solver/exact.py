@@ -103,6 +103,17 @@ def solve_exact(prog: BfbProgram, time_limit: Optional[float] = None) -> SolveRe
         options=options,
     )
     if res.status != 0 or res.x is None:
+        if res.status == 1 and res.x is not None:
+            # time/iteration limit with an integer-feasible incumbent:
+            # return it as heuristic instead of discarding it
+            x = np.round(res.x[:V]).astype(np.int64)
+            eps_sum = float(prog.residual_objective(x.astype(np.float64)))
+            return SolveResult(
+                x=x,
+                epsilon_sum=eps_sum,
+                objective=eps_sum - prog.bias,
+                status="heuristic",
+            )
         status = "infeasible" if res.status == 2 else "error"
         return SolveResult(
             x=np.zeros(V, dtype=np.int64),

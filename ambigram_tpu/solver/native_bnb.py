@@ -20,9 +20,11 @@ def solve_native(
     prog: BfbProgram,
     warm: Optional[SolveResult] = None,
     node_cap: int = 20_000_000,
+    time_limit_s: float = 0.0,
 ) -> Optional[SolveResult]:
     """Exact solve via the native B&B. Returns None when the native lib
-    is unavailable; status 'heuristic' when the node budget was hit."""
+    is unavailable; status 'heuristic' when the node or wall-clock
+    budget was hit (time_limit_s <= 0 disables the clock)."""
     from ambigram_tpu.native import native_bnb
 
     A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
@@ -41,7 +43,9 @@ def solve_native(
     order = np.argsort(-impact, kind="stable")
     warm_x = warm.x if warm is not None else None
     warm_eps = warm.epsilon_sum if warm is not None else 1e300
-    out = native_bnb(H, lb, ub, n_res, x_ub, order, warm_x, warm_eps, node_cap)
+    out = native_bnb(
+        H, lb, ub, n_res, x_ub, order, warm_x, warm_eps, node_cap, time_limit_s
+    )
     if out is None:
         return None
     x, eps, proven, nodes = out

@@ -18,6 +18,7 @@
 // half-integers so exact comparisons use a 1e-6 slack.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -30,11 +31,13 @@ struct Problem {
     int n_res;       // residual rows
     int V;           // variables
     const double *H;     // [n_rows * V]
+    const double *Hc;    // [V * n_rows] column-major copy (cache-friendly assign)
     const double *lb;    // [n_rows]
     const double *ub;    // [n_rows]
     const int *x_ub;     // [V]
     const int *order;    // [V] variable processing order (permutation)
     long long node_cap;
+    double time_limit_s;  // <= 0: no wall-clock limit
 };
 
 struct State {
@@ -47,8 +50,15 @@ struct State {
     double best_eps;
     long long nodes;
     bool aborted;
+    std::chrono::steady_clock::time_point deadline;
+    bool has_deadline;
 
     State(const Problem &prob) : p(prob) {
+        has_deadline = p.time_limit_s > 0.0;
+        if (has_deadline)
+            deadline = std::chrono::steady_clock::now() +
+                       std::chrono::duration_cast<std::chrono::steady_clock::duration>(
+                           std::chrono::duration<double>(p.time_limit_s));
         g.assign(p.n_rows, 0.0);
         x.assign(p.V, 0);
         best_x.assign(p.V, 0);
@@ -92,16 +102,19 @@ struct State {
 
     void assign(int v, int val, int sign) {
         if (val == 0) return;
-        const double *col = &p.H[0];
-        for (int r = 0; r < p.n_rows; r++) {
-            g[r] += sign * val * p.H[(size_t)r * p.V + v];
-        }
-        (void)col;
+        const double *col = &p.Hc[(size_t)v * p.n_rows];
+        const double sv = sign * (double)val;
+        for (int r = 0; r < p.n_rows; r++) g[r] += sv * col[r];
     }
 
     void dfs(int d, const int *warm) {
         if (aborted) return;
         if (++nodes > p.node_cap) {
+            aborted = true;
+            return;
+        }
+        if (has_deadline && (nodes & 0x1fff) == 0 &&
+            std::chrono::steady_clock::now() > deadline) {
             aborted = true;
             return;
         }
@@ -140,14 +153,19 @@ struct State {
 
 extern "C" {
 
-// Returns 1 if proven optimal, 0 if node budget hit (best-so-far in
-// out_x / *out_eps), -1 on bad input.
+// Returns 1 if proven optimal, 0 if the node or wall-clock budget was
+// hit (best-so-far in out_x / *out_eps), -1 on bad input.
+// time_limit_s <= 0 disables the wall-clock limit.
 int bfb_bnb(int n_rows, int n_res, int V, const double *H, const double *lb,
             const double *ub, const int *x_ub, const int *order,
             const int *warm_x, double warm_eps, long long node_cap,
-            int *out_x, double *out_eps, long long *out_nodes) {
+            double time_limit_s, int *out_x, double *out_eps,
+            long long *out_nodes) {
     if (n_rows <= 0 || V <= 0 || n_res < 0 || n_res > n_rows) return -1;
-    Problem p{n_rows, n_res, V, H, lb, ub, x_ub, order, node_cap};
+    std::vector<double> Hc((size_t)V * n_rows);
+    for (int r = 0; r < n_rows; r++)
+        for (int v = 0; v < V; v++) Hc[(size_t)v * n_rows + r] = H[(size_t)r * V + v];
+    Problem p{n_rows, n_res, V, H, Hc.data(), lb, ub, x_ub, order, node_cap, time_limit_s};
     State st(p);
     if (warm_x && warm_eps < 1e290) {
         // validate the warm start as the initial incumbent
