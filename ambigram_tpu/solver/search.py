@@ -17,13 +17,20 @@ A full device branch-and-bound with PDHG dual bounds is the planned
 follow-up; this module's search is already the throughput path the
 BASELINE metric measures.
 
-Known quality frontier (measured): at S>=48 the +-1 move set plateaus
-well above the LP bound (eps 47.5 vs LP 6 on the synthetic S=48 case)
-— single-variable moves cannot swap a large loop for two smaller ones
-in one step. For scale, that still beats the exact MILP, which finds
-NO feasible point in 240s at that size, but paired same-endpoint moves
-(+1/-1 on loops sharing a boundary, chunk-enumerated like _sweep) are
-the next structural improvement.
+Sweeps are scored incrementally (`_sweep_delta`): the row values
+hx = Hx are threaded through the descent and each move costs one
+column delta, ~1000x less arithmetic than re-scoring, with bitwise
+identical move selection (lockstep-tested against the materializing
+`_sweep`). When +-1 descent stalls, paired moves (`_sweep_moves`:
+endpoint slides and loop<->pattern transfers) cross valleys single
+moves cannot.
+
+Known quality frontier (measured): at S>=32 the search still plateaus
+above the true optimum on noisy synthetic profiles (e.g. eps 21-22 vs
+exact 18-20 territory at S=32; the LP bound is far weaker still, so
+certificates rarely fire there). For scale that beats the exact MILP,
+which finds NO feasible point in 240s at S=48; the auto pipeline
+covers the gap with the time-budgeted warm-started native B&B.
 """
 
 from __future__ import annotations
