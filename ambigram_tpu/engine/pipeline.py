@@ -477,8 +477,13 @@ def run_bfb_many(
             vio = float(prog.hard_violation(x.astype(np.float64)))
             certified = False
             if vio == 0.0:
-                lb = lp_lower_bound(prog)
-                certified = lb is not None and eps <= lb + 1e-6
+                if eps == 0.0:
+                    # the objective is nonnegative: eps == 0 certifies
+                    # itself with no LP solve
+                    certified = True
+                else:
+                    lb = lp_lower_bound(prog)
+                    certified = lb is not None and eps <= lb + 1e-6
             if certified:
                 solutions[(i, n)] = SolveResult(
                     x=x, epsilon_sum=eps, objective=eps - prog.bias, status="optimal"

@@ -44,7 +44,9 @@ def stack_cases(progs: Sequence[BfbProgram]) -> ScoringTensors:
     """Stack several fitting programs into one leading-case-axis tensor
     set, padded to the max shape across cases."""
     pad_v = max(128, max(((p.num_vars + 127) // 128) * 128 for p in progs))
-    sts = [scoring_tensors(p, pad_vars=pad_v) for p in progs]
+    # host tensors: restacking device arrays costs a device->host round
+    # trip per array per case (~60ms each on relay backends)
+    sts = [scoring_tensors(p, pad_vars=pad_v, device=False) for p in progs]
     pad_r = max(st.H.shape[0] for st in sts)
 
     def pad_rows(x, rows, fill=0.0):

@@ -102,7 +102,11 @@ def scoring_tensors(
     prog: BfbProgram,
     pad_vars: Optional[int] = None,
     pad_rows: Optional[int] = None,
+    device: bool = True,
 ) -> ScoringTensors:
+    """device=False keeps the tensors as host numpy arrays — for callers
+    that restack/pad them (parallel.mesh.stack_cases); pulling device
+    arrays back costs a full round trip per array on relay backends."""
     V = prog.num_vars
     Vp = pad_vars if pad_vars is not None else _round_up(max(V, 128), 128)
     A_np = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
@@ -149,15 +153,16 @@ def scoring_tensors(
     H8 = H_int.astype(np.int8)
     int8_ok = bool(np.array_equal(H8.astype(np.float64), H_int))
 
+    conv = jnp.asarray if device else np.asarray
     return ScoringTensors(
-        H=jnp.asarray(H),
-        lb=jnp.asarray(lb),
-        ub=jnp.asarray(ub),
-        x_ub=jnp.asarray(x_ub),
-        H8=jnp.asarray(H8),
-        lb_raw=jnp.asarray(lb_raw),
-        ub_raw=jnp.asarray(ub_raw),
-        w=jnp.asarray(w),
+        H=conv(H),
+        lb=conv(lb),
+        ub=conv(ub),
+        x_ub=conv(x_ub),
+        H8=conv(H8),
+        lb_raw=conv(lb_raw),
+        ub_raw=conv(ub_raw),
+        w=conv(w),
         num_vars=V,
         num_residual_rows=R,
         int8_ok=int8_ok,

@@ -440,45 +440,40 @@ def lp_lower_bound(prog: BfbProgram) -> Optional[float]:
 
 
 def _lp_solve(prog: BfbProgram):
-    """LP-relaxation lower bound on the integer epsilon sum (host-side,
-    tiny). None if scipy is unavailable or the LP fails."""
+    """LP-relaxation lower bound on the integer epsilon sum (host-side;
+    sparse block assembly so large programs stay fast). None if scipy
+    is unavailable or the LP fails."""
     try:
         from scipy.optimize import linprog
+        from scipy.sparse import csr_matrix, eye, hstack, vstack
     except Exception:  # pragma: no cover
         return None
     V = prog.num_vars
     A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
     c_res = np.concatenate([prog.c_seg, prog.c_fbi])
     E = A_res.shape[0]
-    N = V + E
-    c = np.zeros(N)
+    c = np.zeros(V + E)
     c[V:] = 1.0
-    A_ub = []
-    b_ub = []
-    for i in range(E):
-        row = np.zeros(N)
-        row[:V] = -A_res[i]
-        row[V + i] = -1.0
-        A_ub.append(row)
-        b_ub.append(-c_res[i])
-        row2 = np.zeros(N)
-        row2[:V] = A_res[i]
-        row2[V + i] = -1.0
-        A_ub.append(row2)
-        b_ub.append(c_res[i])
-    for r in range(prog.G.shape[0]):
-        if np.isfinite(prog.g_ub[r]):
-            row = np.zeros(N)
-            row[:V] = prog.G[r]
-            A_ub.append(row)
-            b_ub.append(prog.g_ub[r])
-        if np.isfinite(prog.g_lb[r]):
-            row = np.zeros(N)
-            row[:V] = -prog.G[r]
-            A_ub.append(row)
-            b_ub.append(-prog.g_lb[r])
+    A_sp = csr_matrix(A_res)
+    I = eye(E, format="csr")
+    blocks = [hstack([-A_sp, -I]), hstack([A_sp, -I])]
+    b_parts = [-c_res, c_res]
+    if prog.G.shape[0]:
+        G_sp = csr_matrix(prog.G)
+        Z = csr_matrix((1, E))
+        fin_ub = np.isfinite(prog.g_ub)
+        if fin_ub.any():
+            blocks.append(hstack([G_sp[fin_ub], csr_matrix((int(fin_ub.sum()), E))]))
+            b_parts.append(prog.g_ub[fin_ub])
+        fin_lb = np.isfinite(prog.g_lb)
+        if fin_lb.any():
+            blocks.append(hstack([-G_sp[fin_lb], csr_matrix((int(fin_lb.sum()), E))]))
+            b_parts.append(-prog.g_lb[fin_lb])
+        del Z
+    A_ub = vstack(blocks, format="csr")
+    b_ub = np.concatenate(b_parts)
     bounds = [(0, ub) for ub in prog.x_ub] + [(0, None)] * E
-    res = linprog(c, A_ub=np.array(A_ub), b_ub=np.array(b_ub), bounds=bounds, method="highs")
+    res = linprog(c, A_ub=A_ub, b_ub=b_ub, bounds=bounds, method="highs")
     return res
 
 
@@ -526,8 +521,11 @@ def solve_device(
     violation = float(prog.hard_violation(x_int.astype(np.float64)))
     status = "heuristic"
     if violation == 0.0 and certify:
-        # the integer optimum is a half-integer >= the LP bound
-        if lb is not None and eps_sum <= half_ceil(lb) + 1e-6:
+        # eps == 0 is its own certificate (the objective is nonnegative)
+        if eps_sum == 0.0:
+            status = "optimal"
+        # otherwise the integer optimum is a half-integer >= the LP bound
+        elif lb is not None and eps_sum <= half_ceil(lb) + 1e-6:
             status = "optimal"
     elif violation > 0:
         status = "error"
