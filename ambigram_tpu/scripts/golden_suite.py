@@ -23,6 +23,20 @@ import tempfile
 import time
 from typing import Dict, List
 
+
+def _honor_platform_env() -> None:
+    """The host image's sitecustomize may pin `jax_platforms` to a TPU
+    plugin via jax.config at interpreter start, which silently overrides
+    the JAX_PLATFORMS env var. When the caller asked for a specific
+    platform (e.g. JAX_PLATFORMS=cpu for a host-only golden run), re-pin
+    it through jax.config before the first backend use — otherwise the
+    device-search stages would compile on the remote TPU."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        jax.config.update("jax_platforms", want)
+
 GOLDEN_EGFR6 = (
     "1+2+3+4+5+6+|6-5-4-3-2-|2+3+4+|4-3-|3+4+|4-3-2-|2+3+4+5+6+|6-5-4-3-2-1-"
 )
@@ -32,6 +46,7 @@ _DATA = os.path.join(_REPO, "tests", "data")
 
 
 def run_suite(solver: str = "exact", workdir: str | None = None) -> Dict:
+    _honor_platform_env()
     from ambigram_tpu.engine.pipeline import run_bfb
     from ambigram_tpu.scripts.evaluate import junction_score, multiplicity_diff
     from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case

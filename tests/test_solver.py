@@ -296,3 +296,28 @@ def test_chained_pallas_matches_xla_loop():
     # identical; the final checksum exceeds 2^24 and its f32 value
     # depends on accumulation order (per-block vs whole-batch)
     assert got == pytest.approx(ref, rel=1e-6)
+
+
+def test_auto_midsize_never_compiles_device(tmp_path, monkeypatch):
+    """Time-to-solution guard: programs at or under
+    AUTO_EXACT_FIRST_MAX_VARS close in the in-process MILP without ever
+    touching the device search (whose cold jit compile costs 20-60s
+    through the TPU remote-compile helper). pe16 has V=272."""
+    from ambigram_tpu.engine import pipeline
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+
+    monkeypatch.chdir(tmp_path)
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("device search must not run for mid-size programs")
+
+    import ambigram_tpu.solver.search as search
+
+    monkeypatch.setattr(search, "solve_device", boom)
+    case = simulate_bfb_case(seed=16, n_segments=16)
+    paths = write_case(case, "pe16")
+    res = pipeline.run_bfb(paths["lh"], solver="auto")
+    assert res.path_strings
+    from ambigram_tpu.scripts.evaluate import multiplicity_diff
+
+    assert multiplicity_diff(case.truth_string, res.path_strings[0]) == 0
