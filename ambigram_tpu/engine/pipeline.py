@@ -47,6 +47,9 @@ class ChromosomeResult:
     objective: float = 0.0
     trivial: bool = False
     infeasible: bool = False
+    # False when the solution used for path reconstruction is a feasible
+    # incumbent whose optimality no stage proved (time-boxed solves).
+    certified: bool = True
 
 
 @dataclass
@@ -105,11 +108,11 @@ def _solve(prog: BfbProgram, solver: str):
     # anchor. Every exact stage is wall-clock bounded so time-to-
     # solution stays bounded on hard instances; if nothing proves
     # optimality, the best feasible incumbent across stages wins.
-    from ambigram_tpu.solver.exact import solve_exact
+    from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
     from ambigram_tpu.solver.native_bnb import solve_native
 
     candidates = []
-    if prog.num_vars <= AUTO_EXACT_FIRST_MAX_VARS:
+    if prog.num_vars <= AUTO_EXACT_FIRST_MAX_VARS and have_exact_solver():
         eres = solve_exact(prog, time_limit=60.0)
         if eres.status in ("optimal", "infeasible"):
             return eres
@@ -125,7 +128,7 @@ def _solve(prog: BfbProgram, solver: str):
         if nres.status in ("optimal", "infeasible"):
             return nres
         candidates.append(nres)
-    if prog.num_vars > AUTO_EXACT_FIRST_MAX_VARS:
+    if prog.num_vars > AUTO_EXACT_FIRST_MAX_VARS and have_exact_solver():
         eres = solve_exact(prog, time_limit=60.0)
         if eres.status in ("optimal", "infeasible"):
             return eres
@@ -234,7 +237,13 @@ def run_bfb(
             sol = presolved[n]
         else:
             sol = _solve(prog, solver)
-        if sol.status != "optimal":
+        if sol.status == "heuristic" and float(
+            prog.hard_violation(sol.x.astype(np.float64))
+        ) != 0.0:
+            # a "heuristic" incumbent must satisfy the hard constraints
+            # to be usable for path reconstruction; demote otherwise
+            sol.status = "error"
+        if sol.status not in ("optimal", "heuristic"):
             path = [g.segment_by_id(i).pos for i in range(start_id, end_id + 1)]
             out.write(format_bfb(path) + "\n")
             out.write("ILP is unsolvable.\n")
@@ -290,6 +299,7 @@ def run_bfb(
                 path_string=format_bfb(path),
                 element_cn=element_cn,
                 objective=sol.objective,
+                certified=sol.status == "optimal",
             )
         )
 
@@ -467,15 +477,18 @@ def run_bfb_many(
     solutions: Dict[tuple, object] = {}
     if flat and solver == "auto":
         # settle small programs exactly on host first (sub-second each;
-        # avoids paying a device jit compile when every case is small)
-        from ambigram_tpu.solver.exact import solve_exact
+        # avoids paying a device jit compile when every case is small).
+        # The prepass budget is short: a hard mid-size program falls
+        # through to the device pass instead of stalling the batch N×60s.
+        from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
 
         remaining: List[BfbProgram] = []
         remaining_index: List[tuple] = []
         for key, prog in zip(index, flat):
             eres = (
-                solve_exact(prog, time_limit=60.0)
-                if prog.num_vars <= BATCH_EXACT_PREPASS_MAX_VARS
+                solve_exact(prog, time_limit=5.0)
+                if have_exact_solver()
+                and prog.num_vars <= BATCH_EXACT_PREPASS_MAX_VARS
                 else None
             )
             if eres is not None and eres.status in ("optimal", "infeasible"):

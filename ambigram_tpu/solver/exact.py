@@ -105,14 +105,23 @@ def solve_exact(prog: BfbProgram, time_limit: Optional[float] = None) -> SolveRe
     if res.status != 0 or res.x is None:
         if res.status == 1 and res.x is not None:
             # time/iteration limit with an integer-feasible incumbent:
-            # return it as heuristic instead of discarding it
+            # return it as heuristic instead of discarding it — but only
+            # if the rounded point actually satisfies the hard rows
+            # (HiGHS may surface a fractional relaxation point here)
             x = np.round(res.x[:V]).astype(np.int64)
-            eps_sum = float(prog.residual_objective(x.astype(np.float64)))
+            if float(prog.hard_violation(x.astype(np.float64))) == 0.0:
+                eps_sum = float(prog.residual_objective(x.astype(np.float64)))
+                return SolveResult(
+                    x=x,
+                    epsilon_sum=eps_sum,
+                    objective=eps_sum - prog.bias,
+                    status="heuristic",
+                )
             return SolveResult(
-                x=x,
-                epsilon_sum=eps_sum,
-                objective=eps_sum - prog.bias,
-                status="heuristic",
+                x=np.zeros(V, dtype=np.int64),
+                epsilon_sum=0.0,
+                objective=0.0,
+                status="error",
             )
         status = "infeasible" if res.status == 2 else "error"
         return SolveResult(

@@ -268,6 +268,10 @@ def chained_score_pallas(
     B, Vp = x.shape
     Rows = st.H8.shape[0]
     block_b = min(block_b, B)
+    assert B % block_b == 0, (
+        "batch %d must be divisible by block_b %d (the grid would "
+        "silently drop the remainder candidates)" % (B, block_b)
+    )
     grid = (B // block_b,)
     lb2 = st.lb_raw.reshape(1, Rows)
     ub2 = st.ub_raw.reshape(1, Rows)

@@ -44,3 +44,34 @@ def test_trivial_no_fbi():
         assert result.chromosomes[0].trivial
     finally:
         os.unlink(path)
+
+
+def test_heuristic_incumbent_used_for_path(tmp_path):
+    """A feasible time-boxed incumbent (status 'heuristic') must still
+    drive path reconstruction, flagged uncertified (ADVICE r1 medium:
+    previously discarded as 'ILP is unsolvable')."""
+    import numpy as np
+
+    from ambigram_tpu.engine.pipeline import extract_programs
+    from ambigram_tpu.solver.exact import SolveResult, solve_exact
+
+    lh = os.path.join(DATA, "egfr6.lh")
+    prog = extract_programs(lh)[0]
+    opt = solve_exact(prog)
+    heur = SolveResult(
+        x=opt.x, epsilon_sum=opt.epsilon_sum, objective=opt.objective,
+        status="heuristic",
+    )
+    result = run_bfb(lh, solver="exact", presolved=[heur])
+    assert result.path_strings[0] == GOLDEN_EGFR6
+    assert not result.chromosomes[0].certified
+    assert not result.chromosomes[0].infeasible
+
+    # an infeasible 'heuristic' vector must NOT be used: demoted to error
+    bad = SolveResult(
+        x=np.zeros_like(opt.x), epsilon_sum=0.0, objective=0.0,
+        status="heuristic",
+    )
+    if float(prog.hard_violation(bad.x.astype(np.float64))) != 0.0:
+        result2 = run_bfb(lh, solver="exact", presolved=[bad])
+        assert result2.chromosomes[0].infeasible
