@@ -113,7 +113,17 @@ def main(argv=None) -> int:
         for kind, vs in unreachable.items():
             for v in vs:
                 print("unreachable (%s): %s" % (kind, v.info()))
-        res = balance(g)
+        from ambigram_tpu.exceptions import ILPBalancerInfeasibleError
+
+        try:
+            res = balance(g)
+        except ILPBalancerInfeasibleError:
+            # no circulation keeps every observed junction active (the
+            # reference's cbc would report Infeasible here and the run
+            # would die at parseILP); retry letting junctions switch
+            # off at the maximum penalty
+            print("balancer infeasible with all junctions on; relaxing")
+            res = balance(g, allow_junction_off=True)
         apply_balance(g, res)
         out_lh = args.out_lh or (args.lp_prefix + ".balanced.lh")
         write_balanced_lh(g, out_lh, original_lh=args.in_lh)

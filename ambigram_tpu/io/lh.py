@@ -14,6 +14,20 @@ Behavioral parity target: the reference parser at
 - `SOURCE`/`SINK` accept comma-separated id lists (multi-chromosome).
 - `PLOIDY 2m1` style strings keep the raw string; the integer part
   before 'm' is the expected ploidy (Graph.cpp:164-167).
+
+The LEGACY grammar of the localHap lineage is also accepted (the
+reference's own live parser hits strtok-NULL UB on it; its one real
+fixture /root/reference/script/test.lh:1-8 is in this form, emitted by
+the commented-out writer in /root/reference/script/config.py:208-214):
+
+- `SAMPLE <name>`            (vs SAMPLE_NAME)
+- `AVG_DP <depth>`           (whole-sample average depth)
+- `SOURCE H:1` / `SINK H:75` (H:<id> tokens instead of bare ids)
+- `SEG H:<id> <depth> [<cn>]`  (no interval; CN auto from depth when absent)
+- `JUNC H:<i>:<d> H:<j>:<d> <depth> [<cn>]`  (no flag columns)
+
+The optional trailing `<cn>` column is how `--op check` writes balanced
+copy numbers back into a legacy-dialect `.balanced.lh`.
 """
 
 from __future__ import annotations
@@ -117,6 +131,11 @@ def _split_colon_node(node: str) -> List[str]:
     return node.split(":")
 
 
+def _node_id(tok: str) -> int:
+    """SOURCE/SINK id: bare `1` (modern) or `H:1` (legacy)."""
+    return _atoi(tok.split(":")[-1]) if ":" in tok else _atoi(tok)
+
+
 def parse_lh(path: str) -> LhFile:
     with open(path, "r") as f:
         text = f.read()
@@ -133,11 +152,11 @@ def parse_lh_text(text: str) -> LhFile:
         if not tokens:
             continue
         key = tokens[0]
-        if key == "SAMPLE_NAME":
+        if key in ("SAMPLE_NAME", "SAMPLE"):
             lh.sample_name = tokens[1]
         elif key == "AVG_CHR_SEG_DP":
             lh.avg_chr_seg_dp = [_atof(t) for t in tokens[1].split(",") if t != ""]
-        elif key == "AVG_WHOLE_HOST_DP":
+        elif key in ("AVG_WHOLE_HOST_DP", "AVG_DP"):
             lh.avg_whole_host_dp = _atof(tokens[1])
         elif key == "AVG_VIRUS_SEG_DP":
             lh.avg_virus_seg_dp = _atof(tokens[1])
@@ -155,19 +174,27 @@ def parse_lh_text(text: str) -> LhFile:
             lh.ploidy_string = tokens[1]
             lh.expected_ploidy = _atoi(tokens[1].split("m")[0])
         elif key == "SOURCE":
-            lh.source_ids = [_atoi(t) for t in tokens[1].split(",") if t != ""]
+            lh.source_ids = [_node_id(t) for t in tokens[1].split(",") if t != ""]
         elif key == "SINK":
-            lh.sink_ids = [_atoi(t) for t in tokens[1].split(",") if t != ""]
+            lh.sink_ids = [_node_id(t) for t in tokens[1].split(",") if t != ""]
         elif key == "SEG":
             node = _split_colon_node(tokens[1])
             coverage = max(_atof(tokens[2]), 0.0)
-            copy_num = _atof(tokens[3]) if len(tokens) > 3 else 0.0
+            if len(node) >= 5:
+                chrom, start, end = node[2], _atoi(node[3]), _atoi(node[4])
+                copy_num = _atof(tokens[3]) if len(tokens) > 3 else 0.0
+            elif len(node) == 2:
+                # legacy `SEG H:<id> <depth> [<cn>]`: no interval
+                chrom, start, end = node[0], 0, 0
+                copy_num = _atof(tokens[3]) if len(tokens) > 3 else -1.0
+            else:
+                raise ValueError("malformed SEG node %r" % tokens[1])
             lh.segs.append(
                 SegRecord(
                     seg_id=_atoi(node[1]),
-                    chrom=node[2],
-                    start=_atoi(node[3]),
-                    end=_atoi(node[4]),
+                    chrom=chrom,
+                    start=start,
+                    end=end,
                     coverage=coverage,
                     copy_num=copy_num,
                 )
@@ -175,10 +202,20 @@ def parse_lh_text(text: str) -> LhFile:
         elif key == "JUNC":
             src = _split_colon_node(tokens[1])
             tgt = _split_colon_node(tokens[2])
+            if len(src) < 3 or len(tgt) < 3:
+                raise ValueError("malformed JUNC nodes %r %r" % (tokens[1], tokens[2]))
             coverage = _atof(tokens[3])
-            copy_num = _atof(tokens[4])
-            inferred = tokens[5][0] == "I"
-            bounded = tokens[6][0] == "B"
+            if len(tokens) >= 7:
+                copy_num = _atof(tokens[4])
+                inferred = tokens[5][0] == "I"
+                bounded = tokens[6][0] == "B"
+            elif len(tokens) in (4, 5):
+                # legacy `JUNC H:i:+ H:j:+ <depth> [<cn>]`
+                copy_num = _atof(tokens[4]) if len(tokens) > 4 else -1.0
+                inferred = False
+                bounded = False
+            else:
+                raise ValueError("malformed JUNC line (%d tokens)" % len(tokens))
             if coverage <= 0 and copy_num <= 0:
                 continue
             lh.juncs.append(

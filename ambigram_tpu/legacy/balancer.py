@@ -63,7 +63,16 @@ def _flow_counts(genome: Genome, seg, incoming: bool) -> Dict[int, int]:
     return counts
 
 
-def balance(genome: Genome, max_copy: int = 999999) -> BalancerResult:
+def balance(
+    genome: Genome, max_copy: int = 999999, allow_junction_off: bool = False
+) -> BalancerResult:
+    """Balance copy numbers. With `allow_junction_off` (an extension
+    beyond LGM.cpp:301-800, where every non-inferred junction is forced
+    on via x_j >= 1), observed junctions may be switched off at the
+    same max-coefficient penalty the reference charges for switching an
+    inferred junction ON — real graphs (e.g. the reference's own
+    75-segment script/test.lh) can admit no circulation with every SV
+    junction active, and the reference's cbc would report infeasible."""
     try:
         from scipy.optimize import Bounds, LinearConstraint, milp
     except ImportError as e:  # pragma: no cover
@@ -136,8 +145,15 @@ def balance(genome: Genome, max_copy: int = 999999) -> BalancerResult:
     min_coef = coefs.min() if coefs.min() > 0 else 0.1
 
     c = np.zeros(N)
+    obj_offset = 0.0
     for k, junc in enumerate(juncs):
-        c[num_sj + k] = max_coef if junc.inferred else 0.0
+        if junc.inferred:
+            c[num_sj + k] = max_coef
+        elif allow_junction_off:
+            # charge max_coef * (1 - x_j) for deactivating an observed
+            # junction: same magnitude as activating an inferred one
+            c[num_sj + k] = -max_coef
+            obj_offset += max_coef
     c[num_sj + nJ : num_sj + nJ + nS] = coefs[:nS]
     c[num_sj + nJ + nS :] = min_coef
 
@@ -146,7 +162,9 @@ def balance(genome: Genome, max_copy: int = 999999) -> BalancerResult:
     for i, seg in enumerate(segs):
         lb[i] = 1.0 if seg.has_lower_bound_limit else 0.0
     for k, junc in enumerate(juncs):
-        lb[num_sj + k] = 0.0 if junc.inferred else 1.0
+        lb[num_sj + k] = (
+            0.0 if (junc.inferred or allow_junction_off) else 1.0
+        )
         ub[num_sj + k] = 1.0
 
     integrality = np.zeros(N)
@@ -172,7 +190,7 @@ def balance(genome: Genome, max_copy: int = 999999) -> BalancerResult:
         seg_cn=np.round(x[:nS]).astype(np.int64),
         junc_cn=np.round(x[nS : nS + nJ]).astype(np.int64),
         junc_on=np.round(x[num_sj : num_sj + nJ]).astype(np.int64),
-        objective=float(res.fun),
+        objective=float(res.fun) + obj_offset,
         status="optimal",
     )
 
@@ -207,17 +225,25 @@ def write_balanced_lh(
     with open(original_lh) as f:
         for line in f.read().splitlines():
             tok = line.split()
-            if tok and tok[0] == "SEG" and len(tok) >= 4:
+            if tok and tok[0] == "SEG":
                 seg_id = int(tok[1].split(":")[1])
                 if seg_id in seg_cn:
-                    tok[3] = "%g" % seg_cn[seg_id]
+                    cn = "%g" % seg_cn[seg_id]
+                    if len(tok) >= 4:
+                        tok[3] = cn
+                    else:  # legacy `SEG H:<id> <depth>`: append CN column
+                        tok.append(cn)
                 out_lines.append(" ".join(tok))
-            elif tok and tok[0] == "JUNC" and len(tok) >= 5:
+            elif tok and tok[0] == "JUNC":
                 s = tok[1].split(":")
                 t = tok[2].split(":")
                 key = (int(s[1]), s[2][0], int(t[1]), t[2][0])
                 if key in junc_cn:
-                    tok[4] = "%g" % junc_cn[key]
+                    cn = "%g" % junc_cn[key]
+                    if len(tok) >= 5:
+                        tok[4] = cn
+                    else:  # legacy `JUNC a b <depth>`: append CN column
+                        tok.append(cn)
                 out_lines.append(" ".join(tok))
             else:
                 out_lines.append(line)

