@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Skip appending simulation_sv.txt / time.csv",
     )
+    p.add_argument(
+        "--profile",
+        action="store_true",
+        help="Print the phase-timer/counter report after the run",
+    )
     # legacy check/solve options (reference localhap.cpp:24-30)
     p.add_argument("--out_lh", default="", help="Balanced LH output (op check)")
     p.add_argument("--hap", default="haploids.txt", help="Haplotype out file (op solve)")
@@ -79,6 +84,16 @@ def _boolish(v: str) -> bool:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    try:
+        return _dispatch(args)
+    finally:
+        if getattr(args, "profile", False):
+            from ambigram_tpu.utils.profiling import GLOBAL
+
+            print(GLOBAL.report(), file=sys.stderr)
+
+
+def _dispatch(args) -> int:
     if args.op == "bfb":
         from ambigram_tpu.engine.pipeline import run_bfb
 

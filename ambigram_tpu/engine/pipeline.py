@@ -81,10 +81,13 @@ BATCH_EXACT_PREPASS_MAX_VARS = 512
 
 
 def _solve(prog: BfbProgram, solver: str):
+    from ambigram_tpu.utils.profiling import GLOBAL
+
     if solver == "exact":
         from ambigram_tpu.solver.exact import solve_exact
 
-        return solve_exact(prog)
+        with GLOBAL.phase("solve.exact"):
+            return solve_exact(prog)
     if solver == "device":
         from ambigram_tpu.solver.search import solve_device
 
@@ -92,7 +95,8 @@ def _solve(prog: BfbProgram, solver: str):
     if solver == "native":
         from ambigram_tpu.solver.native_bnb import solve_native
 
-        res = solve_native(prog)
+        with GLOBAL.phase("solve.native"):
+            res = solve_native(prog)
         if res is None:
             raise RuntimeError("native B&B solver unavailable (no C++ toolchain)")
         return res
@@ -102,18 +106,23 @@ def _solve(prog: BfbProgram, solver: str):
     # V=506 → 0.23s, V=930 → 0.83s, V=2550 → 6.3s on one core, versus
     # 20-60s for a cold search compile through the TPU remote-compile
     # helper), so small and mid-size programs go straight to the exact
-    # solver. Only genuinely large programs pay for the device search,
-    # whose incumbent + LP certificate then warm-start the bounded
-    # native B&B, with the time-boxed MILP as the final exactness
-    # anchor. Every exact stage is wall-clock bounded so time-to-
-    # solution stays bounded on hard instances; if nothing proves
-    # optimality, the best feasible incumbent across stages wins.
+    # solver. Above that split the device search OWNS the regime
+    # (measured on noisy simulated suites, v5e one chip vs one host
+    # core: S=64/V=4160 device 17s warm eps=10.2 vs HiGHS-60s 74s
+    # eps=56.3; S=96/V=9312 device ~40s warm eps=13.7 vs HiGHS-60s
+    # 143s with NO usable incumbent), so a feasible device incumbent is
+    # accepted as the answer after a short warm-started native-B&B
+    # polish — no 60s MILP tail. The MILP only runs at large V when the
+    # search produced nothing feasible. If nothing proves optimality,
+    # the best feasible incumbent across stages wins (path replay
+    # accepts it as an uncertified solution).
     from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
     from ambigram_tpu.solver.native_bnb import solve_native
 
     candidates = []
     if prog.num_vars <= AUTO_EXACT_FIRST_MAX_VARS and have_exact_solver():
-        eres = solve_exact(prog, time_limit=60.0)
+        with GLOBAL.phase("solve.exact"):
+            eres = solve_exact(prog, time_limit=60.0)
         if eres.status in ("optimal", "infeasible"):
             return eres
         candidates.append(eres)
@@ -123,22 +132,40 @@ def _solve(prog: BfbProgram, solver: str):
     if res.status == "optimal":
         return res
     candidates.append(res)
-    nres = solve_native(prog, warm=res, time_limit_s=10.0)
-    if nres is not None:
-        if nres.status in ("optimal", "infeasible"):
-            return nres
-        candidates.append(nres)
-    if prog.num_vars > AUTO_EXACT_FIRST_MAX_VARS and have_exact_solver():
-        eres = solve_exact(prog, time_limit=60.0)
+    # warm-started native B&B polish: pays off on small/mid programs;
+    # at V > 2048 it was measured to never improve the search incumbent
+    # within its budget (S=48/64 noisy suites: identical eps, 12-18s
+    # spent), so skip it there when the incumbent is already feasible
+    large = prog.num_vars > AUTO_EXACT_FIRST_MAX_VARS
+    res_feasible = res.status == "heuristic" and float(
+        prog.hard_violation(res.x.astype(np.float64))
+    ) == 0.0
+    if not (large and res_feasible):
+        with GLOBAL.phase("solve.native"):
+            nres = solve_native(prog, warm=res, time_limit_s=10.0)
+        if nres is not None:
+            if nres.status in ("optimal", "infeasible"):
+                return nres
+            candidates.append(nres)
+
+    def _feasible(pool):
+        return [
+            c
+            for c in pool
+            if c.status == "heuristic"
+            and float(prog.hard_violation(c.x.astype(np.float64))) == 0.0
+        ]
+
+    feasible = _feasible(candidates)
+    if prog.num_vars > AUTO_EXACT_FIRST_MAX_VARS and not feasible and have_exact_solver():
+        # last resort only: at this scale the MILP rarely betters the
+        # search incumbent within any budget (see measurements above)
+        with GLOBAL.phase("solve.exact"):
+            eres = solve_exact(prog, time_limit=60.0)
         if eres.status in ("optimal", "infeasible"):
             return eres
         candidates.append(eres)
-    feasible = [
-        c
-        for c in candidates
-        if c.status == "heuristic"
-        and float(prog.hard_violation(c.x.astype(np.float64))) == 0.0
-    ]
+        feasible = _feasible(candidates)
     if feasible:
         return min(feasible, key=lambda c: c.epsilon_sum)
     return candidates[0]
@@ -156,13 +183,16 @@ def run_bfb(
     lp_prefix: str = "sample",
     presolved: Optional[List] = None,
 ) -> BfbResult:
+    from ambigram_tpu.utils.profiling import GLOBAL
+
     begin = time.perf_counter()
     if out is None:
         out = _io.StringIO()
 
-    g = Genome.from_lh(lh_path)
-    g.calculate_hap_depth()
-    g.calculate_copy_num()
+    with GLOBAL.phase("parse"):
+        g = Genome.from_lh(lh_path)
+        g.calculate_hap_depth()
+        g.calculate_copy_num()
 
     props = parse_bfb_props(lh_path)
     original_segs: Dict[Segment, Segment] = {}
@@ -223,20 +253,22 @@ def run_bfb(
         )
         fbi_cn = junc_cn[start_id : end_id + 1, 1].copy()
         max_cn = sum(s.weight.copy_num for s in g.segments)
-        prog = build_bfb_program(
-            start_id,
-            end_id,
-            seg_cn,
-            fbi_cn,
-            max_cn,
-            bias,
-            components=valid_components,
-            juncs_info=juncs_info,
-        )
+        with GLOBAL.phase("program_build"):
+            prog = build_bfb_program(
+                start_id,
+                end_id,
+                seg_cn,
+                fbi_cn,
+                max_cn,
+                bias,
+                components=valid_components,
+                juncs_info=juncs_info,
+            )
         if presolved is not None and n < len(presolved) and presolved[n] is not None:
             sol = presolved[n]
         else:
-            sol = _solve(prog, solver)
+            with GLOBAL.phase("solve"):
+                sol = _solve(prog, solver)
         if sol.status == "heuristic" and float(
             prog.hard_violation(sol.x.astype(np.float64))
         ) != 0.0:
@@ -274,17 +306,18 @@ def run_bfb(
                 for k in range(i1 - 1, i2):
                     result.target_cn[k] += int(element_cn[T + t]) * 2
         entries = sorted_key_order(pairs)
-        adj, node2pat, node2loop = construct_dag(entries, element_cn)
-        path: VertexPath = replay_bfb(
-            g,
-            adj,
-            node2pat,
-            node2loop,
-            inversions,
-            is_reversed=is_reversed,
-            print_all=print_all,
-            out=out,
-        )
+        with GLOBAL.phase("replay"):
+            adj, node2pat, node2loop = construct_dag(entries, element_cn)
+            path: VertexPath = replay_bfb(
+                g,
+                adj,
+                node2pat,
+                node2loop,
+                inversions,
+                is_reversed=is_reversed,
+                print_all=print_all,
+                out=out,
+            )
         indel_bfb(g, path, start_id, end_id, out=out)
         if props.ins_mode == 1 or props.con_mode == 1:
             from ambigram_tpu.engine.trx import virus_bfb
@@ -497,6 +530,38 @@ def run_bfb_many(
                 remaining.append(prog)
                 remaining_index.append(key)
         flat, index = remaining, remaining_index
+    if flat and solver in ("device", "auto"):
+        # LARGE programs (V > AUTO_EXACT_FIRST_MAX_VARS): the stacked
+        # dense-move sharded step is memory-hostile there (its move set
+        # is a [2V+1, V] matrix), and the per-case basin-hopping search
+        # owns that regime anyway — route each through the device-first
+        # flow, round-robin over local devices in pure device mode
+        # (async dispatch overlaps the searches).
+        import jax as _jax
+
+        big = [
+            (key, prog)
+            for key, prog in zip(index, flat)
+            if prog.num_vars > AUTO_EXACT_FIRST_MAX_VARS
+        ]
+        if big:
+            from ambigram_tpu.solver.search import solve_device
+
+            devices = _jax.local_devices()
+            for k, (key, prog) in enumerate(big):
+                if solver == "auto":
+                    solutions[key] = _solve(prog, "auto")
+                else:
+                    solutions[key] = solve_device(
+                        prog, device=devices[k % len(devices)]
+                    )
+            kept = [
+                (key, prog)
+                for key, prog in zip(index, flat)
+                if prog.num_vars <= AUTO_EXACT_FIRST_MAX_VARS
+            ]
+            index = [key for key, _ in kept]
+            flat = [prog for _, prog in kept]
     if flat and solver in ("device", "auto"):
         from ambigram_tpu.parallel.mesh import solve_cases_sharded
         from ambigram_tpu.solver.exact import SolveResult, solve_exact

@@ -245,14 +245,16 @@ def _descend_loop(
     st: ScoringTensors, X, hx, scores, max_sweeps: int, chunk: int, moves=None
 ):
     """Alternate single-variable and paired-move sweeps until neither
-    improves (or max_sweeps)."""
+    improves (or max_sweeps). Returns (X, hx, scores, n_delta_sweeps,
+    n_move_sweeps) — the sweep counts drive the pipeline's real
+    candidates-scored/s counter."""
 
     def cond(state):
-        _, _, _, improved, it = state
+        _, _, _, improved, it, _ = state
         return jnp.logical_and(improved, it < max_sweeps)
 
     def body(state):
-        X, hx, scores, _, it = state
+        X, hx, scores, _, it, n_mv = state
         X, hx, scores, imp1 = _sweep_delta(st, X, hx, scores, chunk=chunk)
         if moves is not None:
             # paired moves only when +-1 descent stalls: they matter at
@@ -269,13 +271,14 @@ def _descend_loop(
             X, hx, scores, imp2 = jax.lax.cond(
                 imp1, without, with_moves, (X, hx, scores)
             )
+            n_mv = n_mv + jnp.where(imp1, 0, 1)
             imp1 = jnp.logical_or(imp1, imp2)
-        return X, hx, scores, imp1, it + 1
+        return X, hx, scores, imp1, it + 1, n_mv
 
-    X, hx, scores, _, _ = jax.lax.while_loop(
-        cond, body, (X, hx, scores, jnp.bool_(True), jnp.int32(0))
+    X, hx, scores, _, it, n_mv = jax.lax.while_loop(
+        cond, body, (X, hx, scores, jnp.bool_(True), jnp.int32(0), jnp.int32(0))
     )
-    return X, hx, scores
+    return X, hx, scores, it, n_mv
 
 
 @functools.partial(jax.jit, static_argnames=("max_sweeps", "chunk", "rounds"))
@@ -295,8 +298,11 @@ def _search(
     scores = _score_from_hx(st, hx)
 
     def round_body(i, state):
-        X, hx, scores, best_x, best_s, key = state
-        X, hx, scores = _descend_loop(st, X, hx, scores, max_sweeps, chunk, moves)
+        X, hx, scores, best_x, best_s, key, sweeps = state
+        X, hx, scores, n_d, n_m = _descend_loop(
+            st, X, hx, scores, max_sweeps, chunk, moves
+        )
+        sweeps = (sweeps[0] + n_d, sweeps[1] + n_m)
         # fold the round's best into the global best
         idx = jnp.argmin(scores)
         round_best = scores[idx]
@@ -323,19 +329,22 @@ def _search(
         X = jnp.clip(base + kick, 0.0, st.x_ub)
         hx = jnp.matmul(X, st.H.T, preferred_element_type=jnp.float32)
         scores = _score_from_hx(st, hx)
-        return X, hx, scores, best_x, best_s, key
+        return X, hx, scores, best_x, best_s, key, sweeps
 
     best_x = X[0]
     best_s = scores[0]
-    X, hx, scores, best_x, best_s, _ = jax.lax.fori_loop(
-        0, rounds, round_body, (X, hx, scores, best_x, best_s, key)
+    sweeps0 = (jnp.int32(0), jnp.int32(0))
+    X, hx, scores, best_x, best_s, _, sweeps = jax.lax.fori_loop(
+        0, rounds, round_body, (X, hx, scores, best_x, best_s, key, sweeps0)
     )
     # final descent from the best point
     hxf = jnp.matmul(best_x[None, :], st.H.T, preferred_element_type=jnp.float32)
-    Xf, _, sf = _descend_loop(
+    Xf, _, sf, n_d, n_m = _descend_loop(
         st, best_x[None, :], hxf, best_s[None], max_sweeps, chunk, moves
     )
-    return Xf[0], sf[0]
+    # sweep counts: (delta sweeps at pop B, move sweeps at pop B,
+    # delta sweeps at pop 1, move sweeps at pop 1)
+    return Xf[0], sf[0], (sweeps[0], sweeps[1], n_d, n_m)
 
 
 def _seed_population(prog: BfbProgram, st: ScoringTensors, pop: int, seed: int) -> jnp.ndarray:
@@ -479,13 +488,33 @@ def _lp_solve(prog: BfbProgram):
 
 def solve_device(
     prog: BfbProgram,
-    pop: int = 32,
+    pop: Optional[int] = None,
     seed: int = 0,
-    rounds: int = 6,
-    max_sweeps: int = 256,
+    rounds: Optional[int] = None,
+    max_sweeps: Optional[int] = None,
     certify: bool = True,
+    device=None,
 ) -> SolveResult:
+    """`device` pins the search to one device (e.g. round-robin case
+    dispatch across a host's local devices: searches on different
+    devices run concurrently because jit dispatch is async).
+
+    Search budget defaults are env-overridable (AMBIGRAM_SEARCH_POP /
+    _ROUNDS / _SWEEPS) so tests and constrained hosts can shrink them
+    without plumbing arguments through the pipeline."""
+    import os
+
+    from ambigram_tpu.utils.profiling import GLOBAL
+
+    if pop is None:
+        pop = int(os.environ.get("AMBIGRAM_SEARCH_POP", 32))
+    if rounds is None:
+        rounds = int(os.environ.get("AMBIGRAM_SEARCH_ROUNDS", 6))
+    if max_sweeps is None:
+        max_sweeps = int(os.environ.get("AMBIGRAM_SEARCH_SWEEPS", 256))
     st = scoring_tensors(prog)
+    if device is not None:
+        st = jax.device_put(st, device)
     X0 = np.array(_seed_population(prog, st, pop, seed))  # writable copy
     Vp = st.H.shape[1]
 
@@ -511,11 +540,29 @@ def solve_device(
             place(slot, np.floor(x_frac) + (rr.random(len(x_frac)) < frac))
     key = jax.random.PRNGKey(seed)
     mv_minus, mv_plus = slide_transfer_moves(prog)
-    moves = (jnp.asarray(mv_minus), jnp.asarray(mv_plus))
-    best_x, _ = _search(
-        st, jnp.asarray(X0), key, moves, rounds=rounds, max_sweeps=max_sweeps
+    if device is not None:
+        moves = (jax.device_put(jnp.asarray(mv_minus), device),
+                 jax.device_put(jnp.asarray(mv_plus), device))
+        X0j = jax.device_put(jnp.asarray(X0), device)
+        key = jax.device_put(key, device)
+    else:
+        moves = (jnp.asarray(mv_minus), jnp.asarray(mv_plus))
+        X0j = jnp.asarray(X0)
+    with GLOBAL.phase("score"):
+        best_x, _, sweeps = _search(
+            st, X0j, key, moves, rounds=rounds, max_sweeps=max_sweeps
+        )
+        x = np.asarray(best_x)[: prog.num_vars]  # blocks until done
+    # real candidates-scored accounting: a delta sweep evaluates 2*Vp
+    # moves per member, a paired-move sweep M moves per member
+    Vp = st.H.shape[1]
+    M = mv_minus.shape[0]
+    n_d, n_m, n_d1, n_m1 = (int(v) for v in sweeps)
+    GLOBAL.count(
+        "candidates_scored",
+        float(pop) * (n_d * 2.0 * Vp + n_m * M) + (n_d1 * 2.0 * Vp + n_m1 * M),
     )
-    x = np.asarray(best_x)[: prog.num_vars]
+    GLOBAL.count("solve.device_calls")
     x_int = np.round(x).astype(np.int64)
     eps_sum = float(prog.residual_objective(x_int.astype(np.float64)))
     violation = float(prog.hard_violation(x_int.astype(np.float64)))

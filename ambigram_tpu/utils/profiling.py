@@ -27,6 +27,10 @@ class Profiler:
         self.phases: Dict[str, PhaseStats] = {}
         self.counters: Dict[str, float] = {}
 
+    def reset(self) -> None:
+        self.phases.clear()
+        self.counters.clear()
+
     @contextlib.contextmanager
     def phase(self, name: str) -> Iterator[None]:
         t0 = time.perf_counter()

@@ -124,6 +124,85 @@ def bench_baseline(prog, X, iters=2):
         os.unlink(path)
 
 
+def suite_programs(n_cases=4, n_segments=48, noise=0.05):
+    from ambigram_tpu.engine.pipeline import extract_programs
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+
+    progs = []
+    for seed in range(n_cases):
+        case = simulate_bfb_case(
+            seed=seed,
+            n_segments=n_segments,
+            rounds=5,
+            coverage=30.0,
+            mode="process",
+            noise=noise,
+        )
+        td = tempfile.mkdtemp()
+        paths = write_case(case, os.path.join(td, "c%d" % seed))
+        progs.append(extract_programs(paths["lh"])[0])
+    return progs
+
+
+def bench_suite(n_cases=4, n_segments=48):
+    """Time-to-solution on a large-case suite (V > 2048 per case, the
+    regime auto routes to the device): wall seconds + solution quality
+    (sum of feasible epsilons) per solver mode. The reference protocol
+    is localhap.cpp:383-388 (per-run time.csv); cbc isn't buildable
+    here, so `exact` (HiGHS, the same MILP family, 30s budget/case)
+    stands in as the host-exact baseline."""
+    from ambigram_tpu.engine.pipeline import _solve
+    from ambigram_tpu.solver.exact import solve_exact
+    from ambigram_tpu.solver.search import solve_device
+    from ambigram_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # no-op on relay backends (not serializable)
+    progs = suite_programs(n_cases=n_cases, n_segments=n_segments)
+
+    # one-time bucket compile, reported separately: every case in the
+    # suite shares one padded shape, so this is the only compile any
+    # mode pays (the relay's remote-compile latency is also highly
+    # variable — 30-230s observed — and charging it to one mode would
+    # randomize the comparison)
+    t0 = time.perf_counter()
+    solve_device(progs[0])
+    compile_seconds = round(time.perf_counter() - t0, 1)
+
+    def run(mode):
+        import numpy as np
+
+        t0 = time.perf_counter()
+        eps, solved = 0.0, 0
+        for prog in progs:
+            if mode == "exact":
+                r = solve_exact(prog, time_limit=30.0)
+            elif mode == "device":
+                r = solve_device(prog)
+            else:
+                r = _solve(prog, "auto")
+            ok = r.status in ("optimal", "heuristic") and float(
+                prog.hard_violation(r.x.astype(np.float64))
+            ) == 0.0
+            if ok:
+                eps += r.epsilon_sum
+                solved += 1
+        return {
+            "seconds": round(time.perf_counter() - t0, 1),
+            "eps_sum": round(eps, 2),
+            "solved": solved,
+        }
+
+    out = {
+        "cases": "%dxS%d noise=0.05" % (n_cases, n_segments),
+        "device_compile_seconds": compile_seconds,
+    }
+    for mode in ("device", "auto", "exact"):
+        out[mode] = run(mode)
+    ex, au = out["exact"]["seconds"], out["auto"]["seconds"]
+    out["auto_speedup_vs_exact"] = round(ex / au, 2) if au else 0.0
+    return out
+
+
 def main():
     prog, st, X = build_workload()
     device_cps, _checksum = bench_device(st, X)
@@ -133,16 +212,27 @@ def main():
     except Exception as e:  # pragma: no cover
         print("baseline failed: %s" % e, file=sys.stderr)
         base_cps, vs = 0.0, 0.0
-    print(
-        json.dumps(
-            {
-                "metric": "bfb_candidates_scored_per_sec_per_chip",
-                "value": round(device_cps, 1),
-                "unit": "candidates/s",
-                "vs_baseline": round(vs, 2),
-            }
-        )
-    )
+    suite = None
+    if os.environ.get("AMBIGRAM_BENCH_SUITE", "1") != "0":
+        try:
+            suite = bench_suite()
+            # the VERDICT-requested per-mode suite_seconds line; kept on
+            # stderr so stdout stays the contractual single JSON line
+            print(
+                json.dumps({"metric": "suite_seconds_large_cases", **suite}),
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover
+            print("suite bench failed: %s" % e, file=sys.stderr)
+    payload = {
+        "metric": "bfb_candidates_scored_per_sec_per_chip",
+        "value": round(device_cps, 1),
+        "unit": "candidates/s",
+        "vs_baseline": round(vs, 2),
+    }
+    if suite is not None:
+        payload["suite_seconds"] = suite
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
