@@ -122,6 +122,25 @@ def run_suite(solver: str = "exact", workdir: str | None = None) -> Dict:
             p,
         )
 
+        # 5b. simulated virus integration: generated I1 cases with known
+        # truth (not just the hand-made fixture) — reference analog is
+        # the simu.py mutforge pipeline (script/simu.py:278-316)
+        from ambigram_tpu.scripts.simulate import simulate_virus_case
+
+        for seed in (0, 1):
+            case = simulate_virus_case(seed=seed, n_host=6, n_virus=2)
+            paths = write_case(case, "vi%d" % seed)
+            t0 = time.perf_counter()
+            res = run_bfb(paths["lh"], solver=solver)
+            diff = multiplicity_diff(case.truth_string, res.path_strings[0])
+            score = junction_score(case.truth_string, res.path_strings[0])
+            record(
+                "virus_i1_sim%d" % seed,
+                diff == 0 and score.recall == 1.0 and "||" in res.path_strings[0],
+                time.perf_counter() - t0,
+                "mult_diff=%d recall=%.2f" % (diff, score.recall),
+            )
+
         # 6. post-BFB insertion (PROP I2) — all four TRX modes covered
         t0 = time.perf_counter()
         res = run_bfb(os.path.join(_DATA, "i2_insert.lh"), solver=solver)

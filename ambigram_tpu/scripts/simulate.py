@@ -345,6 +345,121 @@ def juncdb_text(
     return "\n".join(rows) + "\n"
 
 
+def simulate_virus_case(
+    seed: int = 0,
+    n_host: int = 6,
+    n_virus: int = 2,
+    coverage: float = 30.0,
+    noise: float = 0.0,
+    host_chrom: str = "chr8",
+    seg_len: int = 1000,
+    start_pos: int = 1000,
+) -> BfbCase:
+    """Virus-integration (PROP I1) simulation: a virus block integrates
+    between two host segments, the merged arm undergoes a nested BFB
+    chain, and the LH is emitted in ORIGINAL coordinates (host chromosome
+    + separate virus chromosome, VIRUS_START/AVG_VIRUS_SEG_DP header,
+    integration junctions, PROP I1) — the input family the reference
+    generates via script/simu.py:278-316 and solves via insertBeforeBFB
+    (LGM.cpp:4195-4293) + virusBFB (LGM.cpp:3839-3939).
+
+    The returned truth_path is in original segment ids, so the solved
+    path (which virus_bfb maps back to original ids) is directly
+    comparable. Nested-chain endpoints are kept off the virus block so
+    no fold-back junction anchors on a virus segment (insertBeforeBFB
+    forces junctions touching insertion ids to +/+ orientation,
+    LGM.cpp:4262-4266 — a fold there would be unrepresentable)."""
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(1, n_host))  # virus integrates between k, k+1
+    n = n_host + n_virus
+    virus_positions = set(range(k + 1, k + n_virus + 1))  # merged ids
+
+    chain = None
+    for _ in range(64):
+        cand = random_nested_chain(rng, n)
+        if all(
+            a not in virus_positions and b not in virus_positions
+            for a, b in cand
+        ):
+            chain = cand
+            break
+    if chain is None:
+        chain = [(1, n)]  # endpoints 1/n are host by construction
+    merged_path = chain_to_path(chain)
+    merged_cn, fbi = path_stats(merged_path, n)
+
+    def orig(m: int) -> int:
+        if m <= k:
+            return m
+        if m <= k + n_virus:
+            return n_host + (m - k)  # virus ids n_host+1 .. n_host+n_virus
+        return m - n_virus
+
+    truth_path = [(orig(m), d) for m, d in merged_path]
+    seg_cn = np.zeros(n, dtype=np.int64)
+    for m in range(1, n + 1):
+        seg_cn[orig(m) - 1] = merged_cn[m - 1]
+
+    def jitter(x: float) -> float:
+        return max(0.0, x * (1.0 + rng.normal(0, noise))) if noise else x
+
+    lh = [
+        "SAMPLE_NAME virus_sim%d" % seed,
+        "AVG_CHR_SEG_DP %g" % coverage,
+        "AVG_WHOLE_HOST_DP %g" % coverage,
+        "AVG_VIRUS_SEG_DP %g" % coverage,
+        "AVG_JUNC_DP %g" % coverage,
+        "PURITY 1",
+        "AVG_TUMOR_PLOIDY 2",
+        "PLOIDY 2m1",
+        "VIRUS_START %d" % (n_host + 1),
+        "SOURCE 1,%d" % (n_host + 1),
+        "SINK %d,%d" % (n_host, n_host + n_virus),
+    ]
+    for i in range(1, n_host + 1):
+        s = start_pos + (i - 1) * seg_len
+        depth = jitter(seg_cn[i - 1] * coverage / 2.0)
+        cn = -1.0 if noise else float(seg_cn[i - 1])
+        lh.append(
+            "SEG H:%d:%s:%d:%d %g %g" % (i, host_chrom, s, s + seg_len - 1, depth, cn)
+        )
+    for v in range(1, n_virus + 1):
+        i = n_host + v
+        s = 1 + (v - 1) * seg_len
+        # virus-segment CN derives from whole-host depth x2
+        # (src/Graph.cpp:369-405): depth = cn * coverage / 2 satisfies it
+        depth = jitter(seg_cn[i - 1] * coverage / 2.0)
+        cn = -1.0 if noise else float(seg_cn[i - 1])
+        lh.append("SEG H:%d:virus:%d:%d %g %g" % (i, s, s + seg_len - 1, depth, cn))
+
+    for (s1, d1, s2, d2), cn in sorted(all_junctions(truth_path).items()):
+        if abs(s1 - s2) == 1 and d1 == d2:
+            continue  # reference adjacency (cross-chrom pairs are never
+            # numerically adjacent: k <= n_host - 1)
+        if (d1, d2) == ("-", "-"):
+            # emit the +/+ complement so integration junctions read
+            # host+ -> virus+ / virus+ -> host+ like the reference's
+            s1, d1, s2, d2 = s2, "+", s1, "+"
+        lh.append(
+            "JUNC H:%d:%s H:%d:%s %g %g U B"
+            % (s1, d1, s2, d2, jitter(cn * coverage / 2.0), float(cn))
+        )
+    lh.append("PROP I1:%s:virus:%s M:%s" % (host_chrom, host_chrom, host_chrom))
+    lh_text = "\n".join(lh) + "\n"
+
+    truth = BfbCase(
+        n_segments=n,
+        truth_path=truth_path,
+        seg_cn=seg_cn,
+        fbi=fbi,
+        coverage=coverage,
+        lh_text=lh_text,
+        sv_text="",
+        seg_text="",
+    )
+    return truth
+
+
 def write_case(case: BfbCase, prefix: str) -> Dict[str, str]:
     paths = {
         "lh": prefix + ".lh",

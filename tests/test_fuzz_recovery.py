@@ -47,3 +47,34 @@ def test_process_mode_resolves(seed, tmp_path, monkeypatch):
     paths = write_case(case, "pr%d" % seed)
     res = run_bfb(paths["lh"], solver="auto")
     assert res.path_strings and res.path_strings[0]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_virus_integration_recovers_truth(seed, tmp_path, monkeypatch):
+    """Simulated PROP-I1 cases (virus block integrated into the host
+    arm, nested BFB on the merged arm) recover the truth exactly
+    through insertBeforeBFB -> solve -> virusBFB mapping."""
+    from ambigram_tpu.scripts.simulate import simulate_virus_case
+
+    monkeypatch.chdir(tmp_path)
+    case = simulate_virus_case(seed=seed, n_host=5 + seed % 4, n_virus=2 + seed % 2)
+    paths = write_case(case, "vf%d" % seed)
+    res = run_bfb(paths["lh"], solver="auto")
+    assert res.path_strings
+    p = res.path_strings[0]
+    assert multiplicity_diff(case.truth_string, p) == 0, (case.truth_string, p)
+    assert junction_score(case.truth_string, p).recall == 1.0
+    assert "||" in p  # human-virus boundaries marked
+
+
+def test_virus_integration_noisy_depth(tmp_path, monkeypatch):
+    """Noisy depths with CN -1: virus segments exercise the x2
+    whole-host scaling (src/Graph.cpp:369-405) and the truth still
+    recovers at 3% noise."""
+    from ambigram_tpu.scripts.simulate import simulate_virus_case
+
+    monkeypatch.chdir(tmp_path)
+    case = simulate_virus_case(seed=11, n_host=6, n_virus=2, noise=0.03)
+    paths = write_case(case, "vn")
+    res = run_bfb(paths["lh"], solver="exact")
+    assert multiplicity_diff(case.truth_string, res.path_strings[0]) == 0
