@@ -224,15 +224,12 @@ def construct_dag(
     return adj, node2pat, node2loop
 
 
-def all_topological_orders(
-    adj: List[List[int]], max_orders: int = 0
-) -> List[List[int]]:
-    """Enumerate every topological order of the DAG, in the reference's
-    recursive backtracking order (smallest eligible node index first).
-
-    max_orders == 0 means unbounded (reference behavior); a positive
-    value caps enumeration for pathological DAGs.
-    """
+def iter_topological_orders(adj: List[List[int]]):
+    """Lazily yield every topological order of the DAG, in the
+    reference's recursive backtracking order (smallest eligible node
+    index first, LGM.cpp:3380-3409). O(width) memory instead of the
+    factorial order list — wide DAGs (many independent loops) are the
+    pathological case this exists for."""
     n = len(adj)
     indeg = [0] * n
     for i in range(n):
@@ -240,27 +237,36 @@ def all_topological_orders(
             indeg[j] += 1
     visited = [False] * n
     res: List[int] = []
-    orders: List[List[int]] = []
 
-    def rec() -> bool:
+    def rec():
         if len(res) == n:
-            orders.append(list(res))
-            if max_orders and len(orders) >= max_orders:
-                return True
+            yield list(res)
         for i in range(n):
             if indeg[i] == 0 and not visited[i]:
                 for j in adj[i]:
                     indeg[j] -= 1
                 res.append(i)
                 visited[i] = True
-                stop = rec()
+                yield from rec()
                 visited[i] = False
                 res.pop()
                 for j in adj[i]:
                     indeg[j] += 1
-                if stop:
-                    return True
-        return False
 
-    rec()
-    return orders
+    yield from rec()
+
+
+def all_topological_orders(
+    adj: List[List[int]], max_orders: int = 0
+) -> List[List[int]]:
+    """Materialized form of `iter_topological_orders`.
+
+    max_orders == 0 means unbounded (reference behavior); a positive
+    value caps enumeration for pathological DAGs.
+    """
+    import itertools
+
+    it = iter_topological_orders(adj)
+    if max_orders:
+        return list(itertools.islice(it, max_orders))
+    return list(it)

@@ -188,14 +188,25 @@ def replay_bfb(
             if path and out is not None:
                 out.write(format_bfb(path) + "\n")
             return path
-    from ambigram_tpu.engine.dag import all_topological_orders
+    # Python path (print_all mode / no toolchain): stream orders from
+    # the lazy enumerator — O(width) memory on wide DAGs instead of the
+    # factorial order list. AMBIGRAM_MAX_ORDERS (0 = unbounded,
+    # reference behavior) caps enumeration per pass on pathological
+    # inputs; first-success and reverse-retry semantics are unchanged.
+    import itertools
+    import os
 
-    orders = [o for o in all_topological_orders(adj) if o]
-    if not orders:
-        return []
-    return get_bfb(
+    from ambigram_tpu.engine.dag import iter_topological_orders
+
+    cap = int(os.environ.get("AMBIGRAM_MAX_ORDERS", "0"))
+
+    def make_orders():
+        it = (o for o in iter_topological_orders(adj) if o)
+        return itertools.islice(it, cap) if cap else it
+
+    return get_bfb_lazy(
         g,
-        orders,
+        make_orders,
         node2pat,
         node2loop,
         inversions,
@@ -216,14 +227,79 @@ def get_bfb(
     out=None,
 ) -> VertexPath:
     """Replay topological orders into a breakpoint path; returns the
-    first complete expanded path (possibly empty if none works)."""
-    forward_dir = not is_reversed
+    first complete expanded path (possibly empty if none works).
+
+    `orders` may be any re-iterable list; `get_bfb_lazy` feeds the same
+    engine from a generator factory for bounded-memory --all runs."""
+    return get_bfb_lazy(
+        g,
+        lambda: iter(orders),
+        node2pat,
+        node2loop,
+        inversions,
+        is_reversed=is_reversed,
+        print_all=print_all,
+        out=out,
+    )
+
+
+def get_bfb_lazy(
+    g: Genome,
+    make_orders,
+    node2pat: List[List[int]],
+    node2loop: List[List[int]],
+    inversions: Dict[int, Junction],
+    is_reversed: bool = False,
+    print_all: bool = False,
+    out=None,
+) -> VertexPath:
+    """Streaming form of get_bfb: `make_orders()` returns a fresh order
+    iterator per pass. Reference flip quirk preserved exactly: the
+    reverse-orientation retry fires iff the LAST enumerated order
+    failed to replay (LGM.cpp:3691-3695) — even in --all mode where
+    earlier orders may have printed successfully."""
     path: VertexPath = []
-    printed: List[str] = []
-    n_idx = 0
-    total = len(orders)
-    while n_idx < total:
-        bfb = orders[n_idx]
+    path, last_invalid, stopped = _replay_pass(
+        g,
+        make_orders(),
+        node2pat,
+        node2loop,
+        inversions,
+        forward_dir=not is_reversed,
+        print_all=print_all,
+        out=out,
+        path=path,
+    )
+    if not stopped and last_invalid:
+        path, _, _ = _replay_pass(
+            g,
+            make_orders(),
+            node2pat,
+            node2loop,
+            inversions,
+            forward_dir=is_reversed,
+            print_all=print_all,
+            out=out,
+            path=path,
+        )
+    return path
+
+
+def _replay_pass(
+    g: Genome,
+    orders,
+    node2pat: List[List[int]],
+    node2loop: List[List[int]],
+    inversions: Dict[int, Junction],
+    forward_dir: bool,
+    print_all: bool,
+    out,
+    path: VertexPath,
+):
+    """One pass over `orders` in one orientation. Returns
+    (path, last_order_invalid, stopped_at_first_success)."""
+    last_invalid = False
+    for bfb in orders:
         bkp_path: List[Vertex] = []
         if node2pat[bfb[0]]:
             start, end = node2pat[bfb[0]][0], node2pat[bfb[0]][1]
@@ -311,21 +387,17 @@ def get_bfb(
 
         imperfect_fbi(g, bkp_path, inversions)
         if i == len(bfb):
+            last_invalid = False
             if not path:
                 path = expand_breakpoint_path(g, bkp_path)
             if print_all:
                 temp = expand_breakpoint_path(g, bkp_path)
-                printed.append(format_bfb(temp))
                 if out is not None:
                     out.write(format_bfb(temp) + "\n")
             else:
-                printed.append(format_bfb(path))
                 if out is not None:
                     out.write(format_bfb(path) + "\n")
-                break
-        elif n_idx == total - 1 and forward_dir != is_reversed:
-            # retry everything in the reverse orientation
-            n_idx = -1
-            forward_dir = is_reversed
-        n_idx += 1
-    return path
+                return path, False, True
+        else:
+            last_invalid = True
+    return path, last_invalid, False

@@ -1,65 +1,99 @@
 """10x linked-read barcode evidence -> .juncs file.
 
-Port of /root/reference/script/process_barcode.py: assigns barcode
-intervals to segment spans, weights segment links by
-|shared barcode set| * span length, and emits the top-5 links as
-segment runs. The shared-barcode intersection is done with vectorized
-set membership over a barcode x segment incidence matrix rather than
-pairwise Python set intersections.
+Behavioral port of /root/reference/script/process_barcode.py, written
+array-first: barcode intervals snap to segment spans with one
+vectorized nearest-endpoint query per BED row (read_barcode), and link
+weights come from a running AND over a barcode x segment incidence
+matrix (link_weights) instead of pairwise Python set intersections.
+
+The snapping rule reproduces the reference's exact iteration
+semantics (process_barcode.py:13-49), including its quirks:
+
+- the global FIRST segment captures an interval whose start lies at or
+  before it — but any later same-chromosome segment steals the match
+  because the nearest-start scan starts from an infinite best;
+  effectively the special case only survives when no other segment
+  participates;
+- the global LAST segment captures an interval whose end lies at or
+  beyond it, and that assignment wins over the nearest-end scan
+  because it happens last;
+- a segment claimed by either special case is excluded from BOTH
+  nearest-endpoint scans for that row (if/elif chain);
+- ties in the nearest-endpoint scans keep the lowest index (strict <).
 """
 
 from __future__ import annotations
 
 import argparse
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
 
 def read_seg(seg_path: str) -> List[List]:
-    segs = []
+    """SEG file rows (`chrom:start-end<TAB>...`) -> [chrom, start, end,
+     1-based id] records (the shape downstream emitters consume)."""
+    segs: List[List] = []
     for line in open(seg_path, "r").read().splitlines():
         if not line:
             continue
-        info = line.split("\t")[0]
-        chrom = info.split(":")[0]
-        pos = info.split(":")[1]
-        segs.append(
-            [chrom, int(pos.split("-")[0]), int(pos.split("-")[1]), len(segs) + 1]
-        )
+        loc = line.split("\t")[0]
+        chrom, span = loc.split(":")
+        start, end = span.split("-")
+        segs.append([chrom, int(start), int(end), len(segs) + 1])
     return segs
 
 
+def _snap(
+    chroms: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    chrom: str,
+    pos1: int,
+    pos2: int,
+) -> Tuple[int, int]:
+    """Snap one barcode interval to a [start, end] segment-index span
+    (reference iteration semantics, vectorized)."""
+    n = len(chroms)
+    match = chroms == chrom
+    first_special = bool(match[0]) and pos1 <= starts[0]
+    # for a single segment the first branch shadows the last (if/elif)
+    last_special = (
+        bool(match[n - 1]) and pos2 >= ends[n - 1] and not (n == 1 and first_special)
+    )
+    part = match.copy()
+    if first_special:
+        part[0] = False
+    if last_special:
+        part[n - 1] = False
+    idx = np.nonzero(part)[0]
+    if idx.size:
+        start = int(idx[np.argmin(np.abs(starts[idx] - pos1))])
+        end = int(idx[np.argmin(np.abs(ends[idx] - pos2))])
+    else:
+        start = 0 if first_special else -1
+        end = -1
+    if last_special:
+        end = n - 1
+    return start, end
+
+
 def read_barcode(bed_path: str, segs: List[List]) -> List[List[str]]:
-    """Assign each barcode interval to its snapped segment span
-    (process_barcode.py:13-49)."""
+    """Per-segment barcode lists: each BED interval's barcode joins
+    every segment in its snapped span."""
+    chroms = np.array([s[0] for s in segs])
+    starts = np.array([s[1] for s in segs], dtype=np.int64)
+    ends = np.array([s[2] for s in segs], dtype=np.int64)
+    n = len(segs)
     group: List[List[str]] = [[] for _ in segs]
     for line in open(bed_path, "r").read().splitlines():
         if not line:
             continue
-        info = line.split("\t")
-        chrom = info[0]
+        chrom, p1, p2, code = line.split("\t")[:4]
         if chrom[0] != "c":
             chrom = "chr" + chrom
-        pos1, pos2 = int(info[1]), int(info[2])
-        code = info[3]
-        start = end = -1
-        min1 = min2 = float("inf")
-        for i, seg in enumerate(segs):
-            if chrom != seg[0]:
-                continue
-            if i == 0 and pos1 <= seg[1]:
-                start = i
-            elif i == len(segs) - 1 and pos2 >= seg[2]:
-                end = i
-            else:
-                if abs(seg[1] - pos1) < min1:
-                    start = i
-                    min1 = abs(seg[1] - pos1)
-                if abs(seg[2] - pos2) < min2:
-                    end = i
-                    min2 = abs(seg[2] - pos2)
-        if start > end or not (0 <= start < len(segs)) or not (0 <= end < len(segs)):
+        start, end = _snap(chroms, starts, ends, chrom, int(p1), int(p2))
+        if start > end or not (0 <= start < n) or not (0 <= end < n):
             continue
         for i in range(start, end + 1):
             group[i].append(code)
@@ -94,10 +128,9 @@ def link_weights(group: List[List[str]], intervals: List[List[int]]) -> List[Lis
     return links
 
 
-def barcode2juncs(seg_path: str, bed_path: str, junc_path: str, top: int = 5) -> str:
-    segs = read_seg(seg_path)
-    group = read_barcode(bed_path, segs)
-    intervals = []
+def chromosome_intervals(segs: List[List]) -> List[List[int]]:
+    """Contiguous same-chromosome index runs, as [first, last] pairs."""
+    intervals: List[List[int]] = []
     source = 0
     for i in range(1, len(segs)):
         if segs[i][0] != segs[source][0]:
@@ -105,14 +138,18 @@ def barcode2juncs(seg_path: str, bed_path: str, junc_path: str, top: int = 5) ->
             source = i
     if source < len(segs):
         intervals.append([source, len(segs) - 1])
-    links = link_weights(group, intervals)
-    res = ""
-    for i in range(min(top, len(links))):
-        for seg in range(links[i][0], links[i][1]):
-            res += str(seg) + "+ "
-        res += str(links[i][1]) + "+\n"
+    return intervals
+
+
+def barcode2juncs(seg_path: str, bed_path: str, junc_path: str, top: int = 5) -> str:
+    segs = read_seg(seg_path)
+    group = read_barcode(bed_path, segs)
+    links = link_weights(group, chromosome_intervals(segs))
+    lines = []
+    for a, b, _w in links[:top]:
+        lines.append(" ".join("%d+" % s for s in range(a, b + 1)))
     with open(junc_path, "w") as f:
-        f.write(res)
+        f.write("".join(line + "\n" for line in lines))
     return junc_path
 
 

@@ -174,3 +174,58 @@ def test_simulate_pe_commands_shape():
     cmds = simulate_pe_commands("bfb.fa", "ref.fa", "s", coverage=30)
     assert cmds[0][0] == "wgsim"
     assert any(c[0] == "bwa" for c in cmds)
+
+
+def test_barcode_snap_matches_reference_semantics(tmp_path):
+    """Differential check of the vectorized interval snapping against a
+    straight transcription of the reference's iteration
+    (process_barcode.py:13-49), on randomized inputs covering the
+    first/last-segment special cases and ties."""
+    import numpy as np
+
+    from ambigram_tpu.scripts.barcode import read_barcode
+
+    rng = np.random.default_rng(42)
+    segs = []
+    pos = 100
+    for chrom in ("chr1", "chr1", "chr1", "chr2", "chr2"):
+        segs.append([chrom, pos, pos + 99, len(segs) + 1])
+        pos += 100
+
+    def reference_groups(rows):
+        group = [[] for _ in segs]
+        for chrom, pos1, pos2, code in rows:
+            if chrom[0] != "c":
+                chrom = "chr" + chrom
+            start = end = -1
+            min1 = min2 = float("inf")
+            for i, seg in enumerate(segs):
+                if chrom != seg[0]:
+                    continue
+                if i == 0 and pos1 <= seg[1]:
+                    start = i
+                elif i == len(segs) - 1 and pos2 >= seg[2]:
+                    end = i
+                else:
+                    if abs(seg[1] - pos1) < min1:
+                        start = i
+                        min1 = abs(seg[1] - pos1)
+                    if abs(seg[2] - pos2) < min2:
+                        end = i
+                        min2 = abs(seg[2] - pos2)
+            if start > end or not (0 <= start < len(segs)) or not (0 <= end < len(segs)):
+                continue
+            for i in range(start, end + 1):
+                group[i].append(code)
+        return group
+
+    rows = []
+    for k in range(300):
+        chrom = rng.choice(["chr1", "chr2", "1", "chrX"])
+        a = int(rng.integers(0, 700))
+        b = a + int(rng.integers(1, 400))
+        rows.append((str(chrom), a, b, "BC%03d" % k))
+
+    bed = tmp_path / "r.bed"
+    bed.write_text("".join("%s\t%d\t%d\t%s\n" % r for r in rows))
+    assert read_barcode(str(bed), segs) == reference_groups(rows)

@@ -1,0 +1,154 @@
+"""Pathological wide-DAG stress for --all / --reversed
+(VERDICT r1 item 10; reference semantics LGM.cpp:3380-3409 order
+enumeration, :3672-3685 --all printing, :3691-3695 reverse retry).
+
+Width mechanism: pattern and loop nodes whose spans share no endpoint
+are incomparable in the DAG, so their families interleave — the order
+count is binomial in the family sizes. Structures that wide are mostly
+NOT replayable (the splice rules anchor on shared endpoints), which is
+exactly the pathological case: getBFB scans EVERY order forward, then
+every order again in reverse orientation, before giving up. The lazy
+enumerator keeps that double scan O(width) in memory, the native
+replayer keeps it fast, and AMBIGRAM_MAX_ORDERS bounds it outright.
+"""
+
+import io
+import itertools
+import time
+
+import numpy as np
+import pytest
+
+from ambigram_tpu.engine.dag import (
+    all_topological_orders,
+    construct_dag,
+    iter_topological_orders,
+)
+from ambigram_tpu.engine.enumerate import enumerate_pairs, pair_index, sorted_key_order
+from ambigram_tpu.engine.path import get_bfb, replay_bfb
+from ambigram_tpu.model.genome import Genome
+
+
+def _build(n, loops, pats, top_pattern=True):
+    g = Genome()
+    for i in range(1, n + 1):
+        g.add_segment(i, 0, "w", i * 1000, i * 1000 + 999, 30.0, 1.0, 1.0)
+    pairs = enumerate_pairs(1, n)
+    T = len(pairs)
+    cn = np.zeros(2 * T, dtype=np.int64)
+    if top_pattern:
+        cn[pair_index(1, n, 1, n)] = 1
+    for a, b in pats:
+        cn[pair_index(1, n, a, b)] = 1
+    for a, b in loops:
+        cn[T + pair_index(1, n, a, b)] = 1
+    entries = sorted_key_order(pairs)
+    adj, n2p, n2l = construct_dag(entries, cn)
+    return g, adj, n2p, n2l
+
+
+def _wide(n=20, fam=7):
+    """p(1,n) + two incomparable families: loops l(2, even j) and
+    patterns p(1, odd j) — C(2*fam, fam) topological orders."""
+    loops = [(2, n - 2 * i) for i in range(fam)]
+    pats = [(1, n - 1 - 2 * i) for i in range(fam)]
+    return _build(n, loops, pats)
+
+
+def _deep_chain(n=30):
+    """An EGFR-style nested loop chain at depth ~n/2 — replayable,
+    larger node count."""
+    loops = []
+    a, b = 2, n
+    side = 0
+    while b - a >= 2:
+        loops.append((a, b))
+        if side == 0:
+            b -= 2
+        else:
+            a += 2
+        side ^= 1
+    return _build(n, loops, [])
+
+
+def test_lazy_enumerator_matches_materialized():
+    _, adj, _, _ = _wide(fam=3)
+    lazy = list(iter_topological_orders(adj))
+    full = all_topological_orders(adj)
+    assert lazy == full
+    assert all_topological_orders(adj, max_orders=7) == full[:7]
+
+
+def test_wide_dag_is_actually_wide():
+    _, adj, _, _ = _wide(fam=7)
+    cnt = sum(1 for _ in itertools.islice(iter_topological_orders(adj), 5000))
+    assert cnt >= 3000  # C(14,7) = 3432 interleavings
+
+
+def test_full_double_scan_bounded_on_wide_dag(monkeypatch):
+    """No order replays -> the engine scans all ~3432 orders forward
+    AND reversed (reference giving-up semantics) in bounded memory and
+    time; native and Python agree on the empty result."""
+    g, adj, n2p, n2l = _wide(fam=7)
+    t0 = time.perf_counter()
+    native = replay_bfb(g, adj, n2p, n2l, {})
+    t_native = time.perf_counter() - t0
+    assert native == []
+    assert t_native < 30.0
+
+    import ambigram_tpu.native as native_mod
+
+    monkeypatch.setattr(
+        native_mod, "native_bfb_replay", lambda *a, **k: (_ for _ in ()).throw(RuntimeError)
+    )
+    t0 = time.perf_counter()
+    python = replay_bfb(g, adj, n2p, n2l, {})
+    assert python == []
+    assert time.perf_counter() - t0 < 60.0
+
+
+def test_order_cap_bounds_pathological_scan(monkeypatch):
+    """AMBIGRAM_MAX_ORDERS caps each pass on inputs too wide to scan."""
+    g, adj, n2p, n2l = _wide(n=24, fam=9)  # C(18,9) = 48620 orders
+    import ambigram_tpu.native as native_mod
+
+    monkeypatch.setattr(
+        native_mod, "native_bfb_replay", lambda *a, **k: (_ for _ in ()).throw(RuntimeError)
+    )
+    monkeypatch.setenv("AMBIGRAM_MAX_ORDERS", "100")
+    t0 = time.perf_counter()
+    path = replay_bfb(g, adj, n2p, n2l, {})
+    assert path == []
+    assert time.perf_counter() - t0 < 10.0
+
+
+def test_print_all_on_wide_dag_prints_nothing_and_terminates(monkeypatch):
+    g, adj, n2p, n2l = _wide(fam=7)
+    monkeypatch.setenv("AMBIGRAM_MAX_ORDERS", "500")
+    out = io.StringIO()
+    path = replay_bfb(g, adj, n2p, n2l, {}, print_all=True, out=out)
+    assert path == [] and out.getvalue() == ""
+
+
+def test_deep_chain_replays_at_larger_node_count():
+    g, adj, n2p, n2l = _deep_chain(n=30)
+    assert len(adj) >= 14
+    fwd = replay_bfb(g, adj, n2p, n2l, {})
+    assert fwd and fwd[0].dir == "+"
+    # this chain has no negative-strand seeding, so --reversed falls
+    # back to the forward orientation via the reverse-retry quirk
+    # (LGM.cpp:3691-3695) and must return the same path
+    rev = replay_bfb(g, adj, n2p, n2l, {}, is_reversed=True)
+    assert [v.info() for v in rev] == [v.info() for v in fwd]
+
+
+def test_print_all_deep_chain_matches_list_engine():
+    """Regression pin: lazy --all output == the materializing engine."""
+    g, adj, n2p, n2l = _deep_chain(n=16)
+    out_lazy = io.StringIO()
+    replay_bfb(g, adj, n2p, n2l, {}, print_all=True, out=out_lazy)
+    orders = [o for o in all_topological_orders(adj) if o]
+    out_list = io.StringIO()
+    get_bfb(g, orders, n2p, n2l, {}, print_all=True, out=out_list)
+    assert out_lazy.getvalue() == out_list.getvalue()
+    assert out_lazy.getvalue()  # at least one printed path
