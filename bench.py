@@ -224,11 +224,25 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             print("suite bench failed: %s" % e, file=sys.stderr)
+    # publish the MXU-utilization arithmetic (VERDICT r1): one candidate
+    # score = one [1, Vp] x [Vp, Rows] int8 matmul = 2*Vp*Rows ops, so
+    # achieved TOPS = cand/s * 2 * Vp * Rows; peak = v5e int8 MXU
+    # (394.7 TOPS, 2x the 197.4 bf16 TFLOP/s figure)
+    Rp, Vp = st.H8.shape
+    achieved_tops = device_cps * 2.0 * Vp * Rp / 1e12
     payload = {
         "metric": "bfb_candidates_scored_per_sec_per_chip",
         "value": round(device_cps, 1),
         "unit": "candidates/s",
         "vs_baseline": round(vs, 2),
+        "mxu": {
+            "rows": int(Rp),
+            "vars": int(Vp),
+            "ops_per_candidate": int(2 * Vp * Rp),
+            "achieved_tops": round(achieved_tops, 1),
+            "peak_int8_tops": 394.7,
+            "utilization_pct": round(100.0 * achieved_tops / 394.7, 1),
+        },
     }
     if suite is not None:
         payload["suite_seconds"] = suite
