@@ -290,6 +290,7 @@ def _search(
     rounds: int = 6,
     max_sweeps: int = 256,
     chunk: int = 128,
+    target: float = 0.0,
 ):
     """Basin hopping: steepest descent to a local optimum, then restart
     every member from the global best with random +-1/+-2 kicks."""
@@ -334,10 +335,32 @@ def _search(
     best_x = X[0]
     best_s = scores[0]
     sweeps0 = (jnp.int32(0), jnp.int32(0))
-    X, hx, scores, best_x, best_s, _, sweeps = jax.lax.fori_loop(
-        0, rounds, round_body, (X, hx, scores, best_x, best_s, key, sweeps0)
+
+    # basin-hop until the round budget runs out OR the incumbent meets
+    # `target` — the caller passes the half-integer-rounded LP bound
+    # (0 when unavailable): a feasible score at the bound is provably
+    # optimal, so further rounds are pure waste
+    tgt = jnp.float32(target)
+
+    def rounds_cond(state):
+        _, _, _, _, best_s, _, _, r = state
+        return jnp.logical_and(r < rounds, best_s > tgt)
+
+    def rounds_body(state):
+        X, hx, scores, best_x, best_s, key, sweeps, r = state
+        X, hx, scores, best_x, best_s, key, sweeps = round_body(
+            r, (X, hx, scores, best_x, best_s, key, sweeps)
+        )
+        return X, hx, scores, best_x, best_s, key, sweeps, r + 1
+
+    X, hx, scores, best_x, best_s, _, sweeps, _ = jax.lax.while_loop(
+        rounds_cond,
+        rounds_body,
+        (X, hx, scores, best_x, best_s, key, sweeps0, jnp.int32(0)),
     )
-    # final descent from the best point
+
+    # final descent from the best point (skipped arithmetic-free when
+    # already at zero: the loop exits on the first sweep)
     hxf = jnp.matmul(best_x[None, :], st.H.T, preferred_element_type=jnp.float32)
     Xf, _, sf, n_d, n_m = _descend_loop(
         st, best_x[None, :], hxf, best_s[None], max_sweeps, chunk, moves
@@ -548,9 +571,16 @@ def solve_device(
     else:
         moves = (jnp.asarray(mv_minus), jnp.asarray(mv_plus))
         X0j = jnp.asarray(X0)
+    target = half_ceil(lb) if (certify and lb is not None) else 0.0
     with GLOBAL.phase("score"):
         best_x, _, sweeps = _search(
-            st, X0j, key, moves, rounds=rounds, max_sweeps=max_sweeps
+            st,
+            X0j,
+            key,
+            moves,
+            rounds=rounds,
+            max_sweeps=max_sweeps,
+            target=max(float(target), 0.0),
         )
         x = np.asarray(best_x)[: prog.num_vars]  # blocks until done
     # real candidates-scored accounting: a delta sweep evaluates 2*Vp
