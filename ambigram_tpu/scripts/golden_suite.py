@@ -178,9 +178,19 @@ def run_suite(solver: str = "exact", workdir: str | None = None) -> Dict:
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--solver", default="exact", choices=["exact", "device", "auto", "native"])
+    parser.add_argument(
+        "--profile",
+        action="store_true",
+        help="Print the phase-timer/counter report (incl. measured "
+        "candidates-scored/s when the device solver ran) to stderr",
+    )
     args = parser.parse_args(argv)
     report = run_suite(solver=args.solver)
     print(json.dumps(report, indent=2))
+    if args.profile:
+        from ambigram_tpu.utils.profiling import GLOBAL
+
+        print(GLOBAL.report(), file=sys.stderr)
     return 0 if report["ok"] else 1
 
 

@@ -91,3 +91,27 @@ def test_run_bfb_many_result_store_idempotent(tmp_path):
     r3 = run_bfb_many([lh], solver="auto", result_store=store)
     assert r3[0].path_strings == [golden]
     assert len(os.listdir(store)) == 2
+
+
+def test_run_bfb_many_large_programs_roundrobin(tmp_path, monkeypatch):
+    """Batch pipeline with V > 2048 programs: the large-program split
+    routes each case through the per-case device search (round-robin
+    over local devices in device mode) instead of the dense-move
+    sharded step, and still recovers truth exactly."""
+    from ambigram_tpu.engine.pipeline import run_bfb_many
+    from ambigram_tpu.scripts.evaluate import multiplicity_diff
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+
+    monkeypatch.setenv("AMBIGRAM_SEARCH_POP", "16")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_ROUNDS", "2")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_SWEEPS", "96")
+    monkeypatch.chdir(tmp_path)
+    paths, truths = [], []
+    for seed in (1, 3):
+        case = simulate_bfb_case(seed=seed, n_segments=48)  # V = 2352
+        p = write_case(case, "lg%d" % seed)
+        paths.append(p["lh"])
+        truths.append(case.truth_string)
+    results = run_bfb_many(paths, solver="device")
+    for res, truth in zip(results, truths):
+        assert multiplicity_diff(truth, res.path_strings[0]) == 0
