@@ -281,7 +281,7 @@ def _descend_loop(
     return X, hx, scores, it, n_mv
 
 
-@functools.partial(jax.jit, static_argnames=("max_sweeps", "chunk", "rounds"))
+@functools.partial(jax.jit, static_argnames=("chunk",))
 def _search(
     st: ScoringTensors,
     X: jnp.ndarray,
