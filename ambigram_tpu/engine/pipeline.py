@@ -571,6 +571,22 @@ def run_bfb_many(
         for (i, n), prog, x in zip(index, flat, best):
             eps = float(prog.residual_objective(x.astype(np.float64)))
             vio = float(prog.hard_violation(x.astype(np.float64)))
+            lb = None
+            if vio != 0.0 or eps != 0.0:
+                # LNS window polish on the sharded incumbent: recovers
+                # the last few epsilon the dense-move step leaves behind
+                # (and repairs violated rows), often reaching the LP
+                # certificate so the exact fallbacks below never run
+                from ambigram_tpu.solver.lns import lns_polish
+                from ambigram_tpu.solver.search import half_ceil
+
+                lb = lp_lower_bound(prog)
+                tgt = half_ceil(lb) if lb is not None else None
+                x_p, eps_p, vio_p = lns_polish(
+                    prog, x.astype(np.int64), target=tgt
+                )
+                if (vio_p, eps_p) < (vio, eps):
+                    x, eps, vio = x_p.astype(x.dtype), eps_p, vio_p
             certified = False
             if vio == 0.0:
                 if eps == 0.0:
@@ -578,8 +594,13 @@ def run_bfb_many(
                     # itself with no LP solve
                     certified = True
                 else:
-                    lb = lp_lower_bound(prog)
-                    certified = lb is not None and eps <= lb + 1e-6
+                    from ambigram_tpu.solver.search import half_ceil
+
+                    if lb is None:
+                        lb = lp_lower_bound(prog)
+                    # every achievable epsilon is a half-integer, so the
+                    # half-rounded LP bound is the sharp certificate
+                    certified = lb is not None and eps <= half_ceil(lb) + 1e-6
             if certified:
                 solutions[(i, n)] = SolveResult(
                     x=x, epsilon_sum=eps, objective=eps - prog.bias, status="optimal"

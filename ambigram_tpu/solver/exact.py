@@ -48,59 +48,77 @@ def have_exact_solver() -> bool:
     return _HAVE_MILP
 
 
-def solve_exact(prog: BfbProgram, time_limit: Optional[float] = None) -> SolveResult:
+def milp_lad(
+    A_res: np.ndarray,
+    c_res: np.ndarray,
+    G: np.ndarray,
+    g_lb: np.ndarray,
+    g_ub: np.ndarray,
+    x_ub: np.ndarray,
+    time_limit: Optional[float] = None,
+):
+    """Solve the least-absolute-deviations MILP
+
+        min sum_i |A_res[i] . x - c_res[i]|
+        s.t. g_lb <= G x <= g_ub, 0 <= x <= x_ub, x integer
+
+    via epsilon lifting (one epsilon per residual row, the reference's
+    BFB_ILP shape). Returns the raw scipy result over [x | eps].
+    Shared by the full-program `solve_exact` and the LNS window solves
+    (ambigram_tpu.solver.lns), whose restricted subproblems have
+    exactly this form."""
     if not _HAVE_MILP:  # pragma: no cover
         raise RuntimeError("scipy HiGHS MILP unavailable")
-    V = prog.num_vars
-    A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
-    c_res = np.concatenate([prog.c_seg, prog.c_fbi])
-    E = A_res.shape[0]  # one epsilon per residual row
+    V = A_res.shape[1]
+    E = A_res.shape[0]
     N = V + E
 
     # objective: minimize sum of epsilons
     c = np.zeros(N)
     c[V:] = 1.0
 
-    rows = []
-    lbs = []
-    ubs = []
+    M = G.shape[0]
+    A_full = np.zeros((2 * E + M, N))
+    lbs = np.empty(2 * E + M)
+    ubs = np.empty(2 * E + M)
+    A_full[0 : 2 * E : 2, :V] = A_res
+    A_full[1 : 2 * E : 2, :V] = A_res
+    eps_idx = V + np.arange(E)
+    A_full[2 * np.arange(E), eps_idx] = 1.0
+    A_full[2 * np.arange(E) + 1, eps_idx] = -1.0
+    lbs[0 : 2 * E : 2] = c_res
+    ubs[0 : 2 * E : 2] = np.inf
+    lbs[1 : 2 * E : 2] = -np.inf
+    ubs[1 : 2 * E : 2] = c_res
+    if M:
+        A_full[2 * E :, :V] = G
+        lbs[2 * E :] = g_lb
+        ubs[2 * E :] = g_ub
 
-    for i in range(E):
-        row = np.zeros(N)
-        row[:V] = A_res[i]
-        row[V + i] = 1.0
-        rows.append(row)
-        lbs.append(c_res[i])
-        ubs.append(np.inf)
-        row2 = np.zeros(N)
-        row2[:V] = A_res[i]
-        row2[V + i] = -1.0
-        rows.append(row2)
-        lbs.append(-np.inf)
-        ubs.append(c_res[i])
-    for r in range(prog.G.shape[0]):
-        row = np.zeros(N)
-        row[:V] = prog.G[r]
-        rows.append(row)
-        lbs.append(prog.g_lb[r])
-        ubs.append(prog.g_ub[r])
-
-    A_full = np.array(rows)
-    constraints = LinearConstraint(A_full, np.array(lbs), np.array(ubs))
+    constraints = LinearConstraint(A_full, lbs, ubs)
     integrality = np.zeros(N)
     integrality[:V] = 1
     lb = np.zeros(N)
-    ub = np.concatenate([prog.x_ub, np.full(E, np.inf)])
+    ub = np.concatenate([x_ub, np.full(E, np.inf)])
     bounds = Bounds(lb, ub)
     options = {}
     if time_limit is not None:
         options["time_limit"] = time_limit
-    res = milp(
+    return milp(
         c=c,
         constraints=constraints,
         integrality=integrality,
         bounds=bounds,
         options=options,
+    )
+
+
+def solve_exact(prog: BfbProgram, time_limit: Optional[float] = None) -> SolveResult:
+    V = prog.num_vars
+    A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
+    c_res = np.concatenate([prog.c_seg, prog.c_fbi])
+    res = milp_lad(
+        A_res, c_res, prog.G, prog.g_lb, prog.g_ub, prog.x_ub, time_limit
     )
     if res.status != 0 or res.x is None:
         if res.status == 1 and res.x is not None:

@@ -517,10 +517,16 @@ def solve_device(
     max_sweeps: Optional[int] = None,
     certify: bool = True,
     device=None,
+    polish: bool = True,
 ) -> SolveResult:
     """`device` pins the search to one device (e.g. round-robin case
     dispatch across a host's local devices: searches on different
     devices run concurrently because jit dispatch is async).
+
+    `polish` runs the LNS window re-solves (solver.lns) on the search
+    incumbent when it falls short of the LP certificate — measured to
+    recover the exact optimum on noisy S=32-64 suites where the raw
+    search plateaus a few epsilon above it.
 
     Search budget defaults are env-overridable (AMBIGRAM_SEARCH_POP /
     _ROUNDS / _SWEEPS) so tests and constrained hosts can shrink them
@@ -596,6 +602,17 @@ def solve_device(
     x_int = np.round(x).astype(np.int64)
     eps_sum = float(prog.residual_objective(x_int.astype(np.float64)))
     violation = float(prog.hard_violation(x_int.astype(np.float64)))
+    tgt = half_ceil(lb) if lb is not None else None
+    if polish and (
+        violation > 0.0
+        or (eps_sum > 0.0 and (tgt is None or eps_sum > tgt + 1e-6))
+    ):
+        from ambigram_tpu.solver.lns import lns_polish
+
+        with GLOBAL.phase("solve.lns"):
+            x_p, eps_p, vio_p = lns_polish(prog, x_int, target=tgt)
+        if (vio_p, eps_p) < (violation, eps_sum):
+            x_int, eps_sum, violation = x_p, eps_p, vio_p
     status = "heuristic"
     if violation == 0.0 and certify:
         # eps == 0 is its own certificate (the objective is nonnegative)
