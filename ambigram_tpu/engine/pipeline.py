@@ -578,10 +578,10 @@ def run_bfb_many(
                 # (and repairs violated rows), often reaching the LP
                 # certificate so the exact fallbacks below never run
                 from ambigram_tpu.solver.lns import lns_polish
-                from ambigram_tpu.solver.search import half_ceil
+                from ambigram_tpu.solver.search import certified_bound
 
                 lb = lp_lower_bound(prog)
-                tgt = half_ceil(lb) if lb is not None else None
+                tgt = certified_bound(prog, lb) if lb is not None else None
                 x_p, eps_p, vio_p = lns_polish(
                     prog, x.astype(np.int64), target=tgt
                 )
@@ -594,13 +594,15 @@ def run_bfb_many(
                     # itself with no LP solve
                     certified = True
                 else:
-                    from ambigram_tpu.solver.search import half_ceil
+                    from ambigram_tpu.solver.search import certified_bound
 
                     if lb is None:
                         lb = lp_lower_bound(prog)
-                    # every achievable epsilon is a half-integer, so the
-                    # half-rounded LP bound is the sharp certificate
-                    certified = lb is not None and eps <= half_ceil(lb) + 1e-6
+                    # the LP bound rounded to the epsilon lattice (when
+                    # one exists) is the sharpest sound certificate
+                    certified = lb is not None and eps <= certified_bound(
+                        prog, lb
+                    ) + 1e-6
             if certified:
                 solutions[(i, n)] = SolveResult(
                     x=x, epsilon_sum=eps, objective=eps - prog.bias, status="optimal"

@@ -56,6 +56,7 @@ def milp_lad(
     g_ub: np.ndarray,
     x_ub: np.ndarray,
     time_limit: Optional[float] = None,
+    relax: bool = False,
 ):
     """Solve the least-absolute-deviations MILP
 
@@ -97,7 +98,8 @@ def milp_lad(
 
     constraints = LinearConstraint(A_full, lbs, ubs)
     integrality = np.zeros(N)
-    integrality[:V] = 1
+    if not relax:  # relax=True solves the LP relaxation (LNS screens)
+        integrality[:V] = 1
     lb = np.zeros(N)
     ub = np.concatenate([x_ub, np.full(E, np.inf)])
     bounds = Bounds(lb, ub)

@@ -35,6 +35,24 @@ from ambigram_tpu.engine.ilp import BfbProgram
 from ambigram_tpu.solver.exact import have_exact_solver, milp_lad
 
 
+def _num_blocks(prog: BfbProgram) -> int:
+    """1 for a plain program; K for the single-cell block program whose
+    columns are K clone copies of the same [patterns | loops] layout
+    (engine/sc.py build_sc_program)."""
+    T2 = 2 * len(prog.pairs)
+    if T2 == 0 or prog.num_vars % T2:
+        return 0
+    return prog.num_vars // T2
+
+
+def _tile_pair_mask(prog: BfbProgram, inside: np.ndarray) -> np.ndarray:
+    """Lift a per-pair mask [T] to the full variable vector: pattern and
+    loop halves, replicated across every clone block."""
+    T = len(prog.pairs)
+    block = np.concatenate([inside, inside])
+    return np.tile(block, prog.num_vars // (2 * T))
+
+
 def _window_free_mask(
     prog: BfbProgram, x: np.ndarray, ws: int, we: int, cap: int
 ) -> np.ndarray:
@@ -52,13 +70,10 @@ def _window_free_mask(
     it, a window whose frozen ancestors are all zero is pinned to zero
     by its own hierarchy rows (observed: the window MILP "optimally"
     zeroes the candidate instead of improving it)."""
-    T = len(prog.pairs)
     i_arr = prog.pairs[:, 0]
     j_arr = prog.pairs[:, 1]
     inside = ((i_arr >= ws) & (j_arr <= we)) | (i_arr == prog.start)
-    free = np.zeros(prog.num_vars, dtype=bool)
-    free[:T] = inside
-    free[T:] = inside
+    free = _tile_pair_mask(prog, inside)
     support = x > 0
     if int(support.sum()) > cap:
         # keep the largest-magnitude support entries
@@ -107,11 +122,22 @@ def _solve_window(
     gx: np.ndarray,
     free: np.ndarray,
     time_limit: float,
+    screen_margin: Optional[float] = None,
 ) -> Optional[np.ndarray]:
     """Exactly solve the program restricted to the free columns, all
     other variables frozen at x. Returns the improved full vector or
     None. ax = A_res @ x and gx = G @ x are maintained by the caller so
-    the frozen-contribution shift is O(rows * |F|), not O(rows * V)."""
+    the frozen-contribution shift is O(rows * |F|), not O(rows * V).
+
+    `screen_margin` (not None => screen): first solve the subproblem's
+    LP relaxation (cheap — and *tight*, since every frozen variable is
+    integer); if even the LP cannot beat the incumbent's restricted
+    epsilon by more than the margin (the epsilon-lattice quantum — 0.5
+    on half-integer targets, 0 on noisy fractional ones), no acceptable
+    integer improvement exists and the MILP is skipped. This makes the
+    no-improvement case (the common one once the incumbent is
+    near-optimal) cost one LP instead of a full MILP proof. Only valid
+    from a feasible incumbent."""
     F = np.flatnonzero(free)
     A_F = A_res[:, F]
     # frozen contribution: full row value minus the free part
@@ -130,6 +156,14 @@ def _solve_window(
         sub_G = np.zeros((0, len(F)))
         sub_lb = np.zeros(0)
         sub_ub = np.zeros(0)
+    if screen_margin is not None:
+        lp = milp_lad(
+            sub_A, sub_c, sub_G, sub_lb, sub_ub, x_ub[F], time_limit, relax=True
+        )
+        if lp.status == 0 and lp.x is not None:
+            cur = float(np.abs(sub_A @ x[F] - sub_c).sum())
+            if float(lp.fun) > cur - screen_margin + 1e-9:
+                return None
     res = milp_lad(sub_A, sub_c, sub_G, sub_lb, sub_ub, x_ub[F], time_limit)
     if res.status not in (0, 1) or res.x is None:
         return None
@@ -162,12 +196,18 @@ def _endpoint_free_mask(
     (a, b) -> (start, b) -> (start, end) stays inside the free set."""
     T = len(prog.pairs)
     n = prog.n
+    K = _num_blocks(prog)
     ends = {prog.start, prog.end}
-    for t in np.flatnonzero(x):
-        ends.add(int(prog.pairs[t % T][0]))
-        ends.add(int(prog.pairs[t % T][1]))
+    for v in np.flatnonzero(x):
+        t = (v % (2 * T)) % T
+        ends.add(int(prog.pairs[t][0]))
+        ends.add(int(prog.pairs[t][1]))
     r = np.abs(ax - c_res)
-    seg_res = r[:n] + r[n : 2 * n]  # seg-CN + FBI-CN residual per segment
+    # seg-CN + FBI-CN residual per segment, aggregated across clone
+    # blocks (the single-cell residual layout is [K*n seg rows;
+    # K*n fbi rows; coupling rows] — engine/sc.py build_sc_program)
+    seg_res = r[: K * n].reshape(K, n).sum(axis=0)
+    seg_res += r[K * n : 2 * K * n].reshape(K, n).sum(axis=0)
     for s in np.argsort(-seg_res)[:top_residual]:
         ends.add(int(prog.start + s))
         ends.add(int(min(prog.end, prog.start + s + 1)))
@@ -177,10 +217,7 @@ def _endpoint_free_mask(
     E[prog.start] = E[prog.end] = True
     i_arr = prog.pairs[:, 0]
     j_arr = prog.pairs[:, 1]
-    inside = E[i_arr] & E[j_arr]
-    free = np.zeros(prog.num_vars, dtype=bool)
-    free[:T] = inside
-    free[T:] = inside
+    free = _tile_pair_mask(prog, E[i_arr] & E[j_arr])
     free[np.flatnonzero(x)] = True
     return free
 
@@ -210,15 +247,15 @@ def lns_polish(
     half-integer-rounded LP bound — anything at the bound is optimal).
     `time_budget`: overall wall-clock cap (default: env
     AMBIGRAM_LNS_BUDGET or 45 s); the endpoint MILP gets the larger
-    share since it does the heavy lifting. Applies only to single-graph
-    programs (the single-cell block program has no window geometry; its
-    per-clone blocks are polished by the caller if needed)."""
+    share since it does the heavy lifting. Single-cell block programs
+    (engine/sc.py) are supported: masks replicate across clone blocks,
+    so a window frees the same pairs in every clone and the coupling
+    rows stay active inside the subproblem."""
     import os
     import time
 
     x = np.asarray(x0, dtype=np.int64).copy()
-    T = len(prog.pairs)
-    if not have_exact_solver() or prog.num_vars != 2 * T:
+    if not have_exact_solver() or _num_blocks(prog) < 1:
         eps = float(prog.residual_objective(x.astype(np.float64)))
         vio = float(prog.hard_violation(x.astype(np.float64)))
         return x, eps, vio
@@ -261,18 +298,29 @@ def lns_polish(
     if not starts or starts[-1] + window - 1 < prog.end:
         starts.append(max(prog.start, prog.end - window + 1))
 
-    def try_accept(free: np.ndarray, budget: float) -> bool:
-        nonlocal x, vio, eps
+    from ambigram_tpu.solver.search import eps_quantum
+
+    quantum = eps_quantum(prog)
+    version = 0  # bumped on every accepted improvement
+    seen: dict = {}  # neighborhood key -> version it was last solved at
+
+    def try_accept(key, free: np.ndarray, budget: float) -> bool:
+        nonlocal x, vio, eps, version
         if not free.any() or budget <= 0.1:
             return False
+        if seen.get(key) == version:
+            return False  # x unchanged since this neighborhood was solved
+        seen[key] = version
         x_new = _solve_window(
-            A_res, c_res, G, g_lb, g_ub, prog.x_ub, x, ax, gx, free, budget
+            A_res, c_res, G, g_lb, g_ub, prog.x_ub, x, ax, gx, free, budget,
+            screen_margin=quantum if vio == 0.0 else None,
         )
         if x_new is None:
             return False
         vio_new, eps_new = measure(x_new)
         if (vio_new, eps_new) < (vio, eps - 1e-9):
             x, vio, eps = x_new, vio_new, eps_new
+            version += 1
             refresh()
             return True
         return False
@@ -283,7 +331,9 @@ def lns_polish(
         # of the remaining budget
         if not at_target():
             improved |= try_accept(
-                _endpoint_free_mask(prog, x, ax, c_res), min(left() * 0.6, left() - 1.0)
+                "endpoint",
+                _endpoint_free_mask(prog, x, ax, c_res),
+                min(left() * 0.6, left() - 1.0),
             )
         if at_target() or left() <= 0.5:
             break
@@ -293,7 +343,7 @@ def lns_polish(
             free = _window_free_mask(prog, x, ws, we, support_cap)
             if viol_cols is not None:
                 free = free | viol_cols
-            improved |= try_accept(free, min(time_limit, left()))
+            improved |= try_accept(ws, free, min(time_limit, left()))
             if at_target() or left() <= 0.5:
                 return x, eps, vio
         if not improved:

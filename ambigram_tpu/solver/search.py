@@ -220,7 +220,9 @@ def _sweep_moves(
 def slide_transfer_moves(prog: BfbProgram, pad_to: int = 512) -> Tuple[np.ndarray, np.ndarray]:
     """The paired-move set for `_sweep_moves`: endpoint slides for every
     pattern and loop, plus loop<->pattern transfers at the same (i,j).
-    Padded with null (0,0) moves (zero delta — never strictly better)."""
+    For single-cell block programs the set is replicated per clone
+    block (each clone slides its own copies). Padded with null (0,0)
+    moves (zero delta — never strictly better)."""
     from ambigram_tpu.engine.enumerate import pair_index
 
     T = len(prog.pairs)
@@ -234,10 +236,14 @@ def slide_transfer_moves(prog: BfbProgram, pad_to: int = 512) -> Tuple[np.ndarra
                     moves.append((v, nb))
         moves.append((T + t, t))
         moves.append((t, T + t))
-    M = ((len(moves) + pad_to - 1) // pad_to) * pad_to if moves else pad_to
+    base = np.asarray(moves, dtype=np.int32) if moves else np.zeros((0, 2), np.int32)
+    K = prog.num_vars // (2 * T) if T else 1
+    if K > 1 and len(base):
+        base = np.concatenate([base + k * 2 * T for k in range(K)], axis=0)
+    M = ((len(base) + pad_to - 1) // pad_to) * pad_to if len(base) else pad_to
     mv = np.zeros((M, 2), dtype=np.int32)
-    if moves:
-        mv[: len(moves)] = np.asarray(moves, dtype=np.int32)
+    if len(base):
+        mv[: len(base)] = base
     return mv[:, 0], mv[:, 1]
 
 
@@ -373,20 +379,24 @@ def _search(
 def _seed_population(prog: BfbProgram, st: ScoringTensors, pop: int, seed: int) -> jnp.ndarray:
     Vp = st.H.shape[1]
     T = len(prog.pairs)
+    K = prog.num_vars // (2 * T) if T else 1  # clone blocks (engine/sc.py)
     X = np.zeros((pop, Vp), dtype=np.float32)
     rng = np.random.default_rng(seed)
-    # member 0: all-zero (pure constructive descent)
-    # member 1: the reference pattern p(start, end) = 1
-    if pop > 1:
-        X[1, _pair_idx(prog, prog.start, prog.end)] = 1
-    # member 2: the top loop l(start, end) = 1
-    if pop > 2:
-        X[2, T + _pair_idx(prog, prog.start, prog.end)] = 1
-    # rest: sparse random loop starts
-    for b in range(3, pop):
-        k = rng.integers(1, 4)
-        idx = rng.integers(0, T, size=k)
-        X[b, T + idx] = rng.integers(1, 3, size=k)
+    root = _pair_idx(prog, prog.start, prog.end)
+    for blk in range(K):
+        off = blk * 2 * T
+        # member 0: all-zero (pure constructive descent)
+        # member 1: the reference pattern p(start, end) = 1, every clone
+        if pop > 1:
+            X[1, off + root] = 1
+        # member 2: the top loop l(start, end) = 1, every clone
+        if pop > 2:
+            X[2, off + T + root] = 1
+        # rest: sparse random loop starts per clone
+        for b in range(3, pop):
+            k = rng.integers(1, 4)
+            idx = rng.integers(0, T, size=k)
+            X[b, off + T + idx] = rng.integers(1, 3, size=k)
     ub = np.asarray(st.x_ub)
     return jnp.asarray(np.minimum(X, ub))
 
@@ -404,9 +414,30 @@ def greedy_peel_seed(prog: BfbProgram) -> np.ndarray:
     2 per covered segment), then cover remaining runs of 1 with
     patterns. Ignores the nesting constraints (descent repairs those);
     lands near the optimum when the profile is loop-decomposable, which
-    is exactly the BFB model."""
+    is exactly the BFB model. Single-cell block programs peel each
+    clone's profile into its own block."""
     n = prog.n
     T = len(prog.pairs)
+    K = prog.num_vars // (2 * T) if T else 1
+    if K > 1:
+        x = np.zeros(prog.num_vars, dtype=np.float32)
+        for blk in range(K):
+            sub = BfbProgram(
+                start=prog.start,
+                end=prog.end,
+                pairs=prog.pairs,
+                A_seg=prog.A_seg[blk * n : (blk + 1) * n, blk * 2 * T : (blk + 1) * 2 * T],
+                c_seg=prog.c_seg[blk * n : (blk + 1) * n],
+                A_fbi=np.zeros((0, 2 * T)),
+                c_fbi=np.zeros(0),
+                G=np.zeros((0, 2 * T)),
+                g_lb=np.zeros(0),
+                g_ub=np.zeros(0),
+                x_ub=prog.x_ub[blk * 2 * T : (blk + 1) * 2 * T],
+                bias=0,
+            )
+            x[blk * 2 * T : (blk + 1) * 2 * T] = greedy_peel_seed(sub)
+        return x
     c = prog.c_seg.astype(np.float64).copy()
     x = np.zeros(prog.num_vars, dtype=np.float32)
 
@@ -450,11 +481,32 @@ def greedy_peel_seed(prog: BfbProgram) -> np.ndarray:
 
 
 def half_ceil(x: float, eps: float = 1e-6) -> float:
-    """Round a bound up to the next multiple of 0.5 — every achievable
-    epsilon sum is a half-integer (coefficients are in {0.5, 1, 2})."""
+    """Round a bound up to the next multiple of 0.5."""
     import math
 
     return math.ceil((x - eps) * 2.0) / 2.0
+
+
+def eps_quantum(prog: BfbProgram) -> float:
+    """Lattice spacing of achievable epsilon sums: 0.5 when every
+    residual target is a half-integer (row values A·x are half-integer
+    multiples for integer x since coefficients are in {0.5, 1, 2}, so
+    each |row − c| and their sum land on the 0.5 lattice); 0.0 for
+    fractional (noise-derived) targets, where epsilon is off-lattice
+    and rounding the LP bound up would be UNSOUND — an incumbent could
+    pass the rounded bound while a strictly better integer point exists
+    below it."""
+    c = np.concatenate([prog.c_seg, prog.c_fbi])
+    if np.all(np.abs(c * 2.0 - np.round(c * 2.0)) < 1e-9):
+        return 0.5
+    return 0.0
+
+
+def certified_bound(prog: BfbProgram, lb: float) -> float:
+    """The sharpest sound optimality threshold from an LP bound: the
+    bound rounded up to the epsilon lattice when one exists, the raw
+    bound otherwise."""
+    return half_ceil(lb) if eps_quantum(prog) > 0.0 else lb
 
 
 def lp_relaxation(prog: BfbProgram):
@@ -577,7 +629,7 @@ def solve_device(
     else:
         moves = (jnp.asarray(mv_minus), jnp.asarray(mv_plus))
         X0j = jnp.asarray(X0)
-    target = half_ceil(lb) if (certify and lb is not None) else 0.0
+    target = certified_bound(prog, lb) if (certify and lb is not None) else 0.0
     with GLOBAL.phase("score"):
         best_x, _, sweeps = _search(
             st,
@@ -602,7 +654,7 @@ def solve_device(
     x_int = np.round(x).astype(np.int64)
     eps_sum = float(prog.residual_objective(x_int.astype(np.float64)))
     violation = float(prog.hard_violation(x_int.astype(np.float64)))
-    tgt = half_ceil(lb) if lb is not None else None
+    tgt = certified_bound(prog, lb) if lb is not None else None
     if polish and (
         violation > 0.0
         or (eps_sum > 0.0 and (tgt is None or eps_sum > tgt + 1e-6))
@@ -619,7 +671,7 @@ def solve_device(
         if eps_sum == 0.0:
             status = "optimal"
         # otherwise the integer optimum is a half-integer >= the LP bound
-        elif lb is not None and eps_sum <= half_ceil(lb) + 1e-6:
+        elif lb is not None and eps_sum <= certified_bound(prog, lb) + 1e-6:
             status = "optimal"
     elif violation > 0:
         status = "error"

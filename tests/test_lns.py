@@ -53,17 +53,21 @@ def test_lns_never_worsens_and_repairs_violation(tmp_path):
     assert eps == pytest.approx(ref.epsilon_sum, abs=1e-6)
 
 
-def test_lns_passthrough_on_sc_block_program(tmp_path):
-    """The single-cell block program has no window geometry: LNS must
-    return the input unchanged (measured, not mangled)."""
+def test_lns_solves_sc_block_program(tmp_path):
+    """Single-cell block programs are polished too: masks replicate
+    across clone blocks, coupling rows stay active. From zero, LNS must
+    reach the exact joint optimum of a 2-clone program."""
     from ambigram_tpu.engine.sc import build_sc_program
 
-    p = _noisy_program(7, 10, tmp_path)
-    sc = build_sc_program([p, p], [[1], []])
+    p1 = _noisy_program(7, 10, tmp_path)
+    p2 = _noisy_program(8, 10, tmp_path)
+    sc = build_sc_program([p1, p2], [[1], []])
     x0 = np.zeros(sc.num_vars, dtype=np.int64)
-    x, eps, vio = lns_polish(sc, x0)
-    assert np.array_equal(x, x0)
-    assert eps == pytest.approx(float(sc.residual_objective(x0.astype(np.float64))))
+    x, eps, vio = lns_polish(sc, x0, time_limit=5.0, max_passes=4)
+    assert vio == 0.0
+    ref = solve_exact(sc)
+    assert ref.status == "optimal"
+    assert eps == pytest.approx(ref.epsilon_sum, abs=1e-6)
 
 
 # The exact optimum of the seed=11/S=28/noise=0.08 program, computed
@@ -75,6 +79,43 @@ def test_lns_passthrough_on_sc_block_program(tmp_path):
 _S28_SEED11_OPTIMUM = 35.64290666666667
 
 
+def test_eps_quantum_gates_bound_rounding(tmp_path):
+    """Noise-free programs live on the 0.5 epsilon lattice, so the LP
+    bound may be rounded up (sharper certificate). Noisy fractional
+    targets are off-lattice: rounding would be unsound, so the
+    certified bound must stay at the raw LP value."""
+    from ambigram_tpu.solver.search import certified_bound, eps_quantum
+
+    case = simulate_bfb_case(seed=2, n_segments=12, rounds=4, mode="process")
+    paths = write_case(case, str(tmp_path / "clean"))
+    clean = extract_programs(paths["lh"])[0]
+    assert eps_quantum(clean) == 0.5
+    assert certified_bound(clean, 3.2) == 3.5
+
+    noisy = _noisy_program(1, 12, tmp_path)
+    assert eps_quantum(noisy) == 0.0
+    assert certified_bound(noisy, 3.2) == 3.2
+
+
+def test_device_solver_sc_block_program(tmp_path, monkeypatch):
+    """The device search on a single-cell block program: moves and
+    seeds replicate per clone block, LNS handles the coupling rows —
+    the joint solve must reach the exact optimum."""
+    from ambigram_tpu.engine.sc import build_sc_program
+
+    monkeypatch.setenv("AMBIGRAM_SEARCH_POP", "8")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_ROUNDS", "2")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_SWEEPS", "48")
+    p1 = _noisy_program(3, 12, tmp_path, noise=0.05)
+    p2 = _noisy_program(4, 12, tmp_path, noise=0.05)
+    sc = build_sc_program([p1, p2], [[1], []])
+    res = solve_device(sc)
+    assert res.status in ("optimal", "heuristic")
+    ref = solve_exact(sc)
+    assert ref.status == "optimal"
+    assert res.epsilon_sum == pytest.approx(ref.epsilon_sum, abs=1e-6)
+
+
 def test_solve_device_polish_matches_exact_on_noisy(tmp_path, monkeypatch):
     """With a deliberately tiny search budget (which plateaus above the
     optimum), the polished device result still reaches the exact MILP
@@ -82,6 +123,11 @@ def test_solve_device_polish_matches_exact_on_noisy(tmp_path, monkeypatch):
     monkeypatch.setenv("AMBIGRAM_SEARCH_POP", "8")
     monkeypatch.setenv("AMBIGRAM_SEARCH_ROUNDS", "1")
     monkeypatch.setenv("AMBIGRAM_SEARCH_SWEEPS", "24")
+    # the endpoint MILP on this instance needs ~26 s of HiGHS on an idle
+    # core; the default 45 s budget gives it ~27 s — too tight under
+    # suite load, so pin a generous budget (this test is about quality,
+    # not the wall-clock default)
+    monkeypatch.setenv("AMBIGRAM_LNS_BUDGET", "180")
     prog = _noisy_program(11, 28, tmp_path)
     res = solve_device(prog)
     assert res.status in ("optimal", "heuristic")
