@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Print all possible BFB paths (true/false)",
     )
     p.add_argument(
+        "--edges",
+        default="",
+        help="Sub-clone evolution edges for sc_bfb, e.g. a.lh:b.lh,a.lh:c.lh "
+        "or 1:2,1:3 (reference grammar, localhap.cpp:417-430; default: "
+        "all-pairs)",
+    )
+    p.add_argument(
         "--solver",
         default="exact",
         choices=["exact", "device", "auto", "native"],
@@ -70,7 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # legacy check/solve options (reference localhap.cpp:24-30)
     p.add_argument("--out_lh", default="", help="Balanced LH output (op check)")
-    p.add_argument("--hap", default="haploids.txt", help="Haplotype out file (op solve)")
+    p.add_argument(
+        "--hap",
+        default="",
+        help="Haplotype out file (op solve); defaults to "
+        "<lp_prefix>.haploids.txt",
+    )
     p.add_argument("--traversed", default="", help="Traversed path out file (op solve)")
     p.add_argument("--circuits", default="", help="Circuits out file (op solve)")
     p.add_argument("--hic_matrix", default="", help="Segment Hi-C matrix file (op solve)")
@@ -173,8 +185,9 @@ def _dispatch(args) -> int:
             tr.write_circuits(args.circuits)
         if args.traversed:
             tr.write_traversed_paths(args.traversed)
-        tr.write_haploids(args.hap)
-        print("haploids written to %s" % args.hap)
+        hap = args.hap or (args.lp_prefix + ".haploids.txt")
+        tr.write_haploids(hap)
+        print("haploids written to %s" % hap)
         return 0
     else:
         from ambigram_tpu.engine.sc import run_sc_bfb
@@ -189,6 +202,7 @@ def _dispatch(args) -> int:
             out=sys.stdout,
             ledger_dir=None if args.no_ledgers else ".",
             lp_prefix=args.lp_prefix,
+            edges=args.edges,
         )
         return 0
 

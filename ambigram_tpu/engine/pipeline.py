@@ -80,7 +80,7 @@ AUTO_EXACT_FIRST_MAX_VARS = 2048
 BATCH_EXACT_PREPASS_MAX_VARS = 512
 
 
-def _solve(prog: BfbProgram, solver: str):
+def _solve(prog: BfbProgram, solver: str, lns_budget: Optional[float] = None):
     from ambigram_tpu.utils.profiling import GLOBAL
 
     if solver == "exact":
@@ -91,7 +91,7 @@ def _solve(prog: BfbProgram, solver: str):
     if solver == "device":
         from ambigram_tpu.solver.search import solve_device
 
-        return solve_device(prog)
+        return solve_device(prog, lns_budget=lns_budget)
     if solver == "native":
         from ambigram_tpu.solver.native_bnb import solve_native
 
@@ -128,7 +128,7 @@ def _solve(prog: BfbProgram, solver: str):
         candidates.append(eres)
     from ambigram_tpu.solver.search import solve_device
 
-    res = solve_device(prog)
+    res = solve_device(prog, lns_budget=lns_budget)
     if res.status == "optimal":
         return res
     candidates.append(res)
@@ -548,12 +548,19 @@ def run_bfb_many(
             from ambigram_tpu.solver.search import solve_device
 
             devices = _jax.local_devices()
+            # one global LNS budget split across the batch's big cases:
+            # per-case polish defaults to ~45 s, and N serial polishes
+            # of uncertifiable cases would balloon batch wall-clock
+            total_lns = float(os.environ.get("AMBIGRAM_LNS_BUDGET", 45.0))
+            per_case_lns = max(5.0, total_lns / len(big))
             for k, (key, prog) in enumerate(big):
                 if solver == "auto":
-                    solutions[key] = _solve(prog, "auto")
+                    solutions[key] = _solve(prog, "auto", lns_budget=per_case_lns)
                 else:
                     solutions[key] = solve_device(
-                        prog, device=devices[k % len(devices)]
+                        prog,
+                        device=devices[k % len(devices)],
+                        lns_budget=per_case_lns,
                     )
             kept = [
                 (key, prog)
@@ -568,6 +575,8 @@ def run_bfb_many(
         from ambigram_tpu.solver.search import lp_lower_bound
 
         best = solve_cases_sharded(flat, mesh=mesh)
+        total_lns = float(os.environ.get("AMBIGRAM_LNS_BUDGET", 45.0))
+        per_case_lns = max(5.0, total_lns / len(flat))
         for (i, n), prog, x in zip(index, flat, best):
             eps = float(prog.residual_objective(x.astype(np.float64)))
             vio = float(prog.hard_violation(x.astype(np.float64)))
@@ -583,7 +592,7 @@ def run_bfb_many(
                 lb = lp_lower_bound(prog)
                 tgt = certified_bound(prog, lb) if lb is not None else None
                 x_p, eps_p, vio_p = lns_polish(
-                    prog, x.astype(np.int64), target=tgt
+                    prog, x.astype(np.int64), target=tgt, time_budget=per_case_lns
                 )
                 if (vio_p, eps_p) < (vio, eps):
                     x, eps, vio = x_p.astype(x.dtype), eps_p, vio_p

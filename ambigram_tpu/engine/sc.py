@@ -85,6 +85,43 @@ def build_sc_program(
     )
 
 
+def parse_evolution_edges(edges: str, names: List[str]) -> List[List[int]]:
+    """Evolution DAG from the reference's `edges` grammar: comma-
+    separated `parent:child` pairs whose tokens are the --in_lh file
+    names (localhap.cpp:417-430 — the option is commented out there and
+    hardcoded to "", but the parser exists; this port makes it
+    reachable). Bare 1-based clone indices are accepted as an extension
+    ("1:2,1:3"), matching the reference's own usage example. Empty
+    string -> the reference's all-pairs default (localhap.cpp:430-434).
+    """
+    K = len(names)
+    evolution: List[List[int]] = [[] for _ in range(K)]
+    if not edges:
+        for i in range(K):
+            evolution[i] = list(range(i + 1, K))
+        return evolution
+    idx = {name: k for k, name in enumerate(names)}
+
+    def resolve(tok: str) -> int:
+        tok = tok.strip()
+        if tok in idx:
+            return idx[tok]
+        if tok.isdigit() and 1 <= int(tok) <= K:
+            return int(tok) - 1
+        raise ValueError(
+            "unknown clone %r in evolution edges (clones: %s)" % (tok, names)
+        )
+
+    for pair in edges.split(","):
+        if not pair.strip():
+            continue
+        a, sep, b = pair.partition(":")
+        if not sep:
+            raise ValueError("evolution edge %r is not parent:child" % pair)
+        evolution[resolve(a)].append(resolve(b))
+    return evolution
+
+
 @dataclass
 class ScBfbResult:
     paths: List[List[VertexPath]] = field(default_factory=list)
@@ -103,6 +140,7 @@ def run_sc_bfb(
     out=None,
     ledger_dir: Optional[str] = None,
     lp_prefix: str = "sample",
+    edges: str = "",
 ) -> ScBfbResult:
     begin = time.perf_counter()
     if out is None:
@@ -115,8 +153,8 @@ def run_sc_bfb(
         g.calculate_copy_num()
         genomes.append(g)
     K = len(genomes)
-    # evolution DAG: default all-pairs (localhap.cpp:430-434)
-    evolution: List[List[int]] = [[j for j in range(i + 1, K)] for i in range(K)]
+    # evolution DAG: user-supplied edges, else all-pairs default
+    evolution = parse_evolution_edges(edges, names)
 
     g0 = genomes[0]
     props = parse_bfb_props(lh_paths)  # comma-joined name: degrades to empty

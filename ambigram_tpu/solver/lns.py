@@ -156,6 +156,9 @@ def _solve_window(
         sub_G = np.zeros((0, len(F)))
         sub_lb = np.zeros(0)
         sub_ub = np.zeros(0)
+    import time as _time
+
+    t0 = _time.perf_counter()
     if screen_margin is not None:
         lp = milp_lad(
             sub_A, sub_c, sub_G, sub_lb, sub_ub, x_ub[F], time_limit, relax=True
@@ -164,7 +167,12 @@ def _solve_window(
             cur = float(np.abs(sub_A @ x[F] - sub_c).sum())
             if float(lp.fun) > cur - screen_margin + 1e-9:
                 return None
-    res = milp_lad(sub_A, sub_c, sub_G, sub_lb, sub_ub, x_ub[F], time_limit)
+    # the LP screen spends part of this neighborhood's budget: deduct it
+    # so screen + MILP together never exceed time_limit
+    time_left = time_limit - (_time.perf_counter() - t0)
+    if time_left <= 0.05:
+        return None
+    res = milp_lad(sub_A, sub_c, sub_G, sub_lb, sub_ub, x_ub[F], time_left)
     if res.status not in (0, 1) or res.x is None:
         return None
     # status 1 (time limit) may surface a fractional point; the rounded
@@ -197,11 +205,17 @@ def _endpoint_free_mask(
     T = len(prog.pairs)
     n = prog.n
     K = _num_blocks(prog)
-    ends = {prog.start, prog.end}
+    # candidate endpoints with a usefulness priority: support endpoints
+    # weighted by the supported copy number, residual segments by their
+    # residual magnitude. Truncation keeps the highest-priority set (not
+    # the smallest segment ids — id-order truncation systematically
+    # dropped the right half of large intervals), with start/end pinned
+    # for hierarchy closure.
+    prio: dict = {}
     for v in np.flatnonzero(x):
         t = (v % (2 * T)) % T
-        ends.add(int(prog.pairs[t][0]))
-        ends.add(int(prog.pairs[t][1]))
+        for e in (int(prog.pairs[t][0]), int(prog.pairs[t][1])):
+            prio[e] = prio.get(e, 0.0) + float(x[v])
     r = np.abs(ax - c_res)
     # seg-CN + FBI-CN residual per segment, aggregated across clone
     # blocks (the single-cell residual layout is [K*n seg rows;
@@ -209,12 +223,14 @@ def _endpoint_free_mask(
     seg_res = r[: K * n].reshape(K, n).sum(axis=0)
     seg_res += r[K * n : 2 * K * n].reshape(K, n).sum(axis=0)
     for s in np.argsort(-seg_res)[:top_residual]:
-        ends.add(int(prog.start + s))
-        ends.add(int(min(prog.end, prog.start + s + 1)))
-    keep = sorted(ends)[:max_endpoints]
+        for e in (int(prog.start + s), int(min(prog.end, prog.start + s + 1))):
+            prio[e] = prio.get(e, 0.0) + float(seg_res[s])
+    prio.pop(prog.start, None)
+    prio.pop(prog.end, None)
+    ranked = sorted(prio, key=lambda e: (-prio[e], e))
+    keep = [prog.start, prog.end] + ranked[: max(0, max_endpoints - 2)]
     E = np.zeros(prog.end + 2, dtype=bool)
     E[keep] = True
-    E[prog.start] = E[prog.end] = True
     i_arr = prog.pairs[:, 0]
     j_arr = prog.pairs[:, 1]
     free = _tile_pair_mask(prog, E[i_arr] & E[j_arr])

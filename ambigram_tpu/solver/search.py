@@ -489,17 +489,29 @@ def half_ceil(x: float, eps: float = 1e-6) -> float:
 
 def eps_quantum(prog: BfbProgram) -> float:
     """Lattice spacing of achievable epsilon sums: 0.5 when every
-    residual target is a half-integer (row values A·x are half-integer
-    multiples for integer x since coefficients are in {0.5, 1, 2}, so
-    each |row − c| and their sum land on the 0.5 lattice); 0.0 for
-    fractional (noise-derived) targets, where epsilon is off-lattice
-    and rounding the LP bound up would be UNSOUND — an incumbent could
-    pass the rounded bound while a strictly better integer point exists
-    below it."""
+    residual target AND every residual coefficient is a half-integer
+    (row values A·x are then half-integer multiples for integer x, so
+    each |row − c| and their sum land on the 0.5 lattice); 0.0
+    otherwise — fractional (noise-derived) targets put epsilon
+    off-lattice, and a future builder with other fractional
+    coefficients would too: rounding the LP bound up would then be
+    UNSOUND (an incumbent could pass the rounded bound while a strictly
+    better integer point exists below it). The coefficient check is an
+    invariant guard: every current builder emits {0.5, 1, 2} entries,
+    but certification soundness must not silently depend on that."""
+    q = getattr(prog, "_eps_quantum_cache", None)
+    if q is not None:
+        return q
     c = np.concatenate([prog.c_seg, prog.c_fbi])
+    q = 0.0
     if np.all(np.abs(c * 2.0 - np.round(c * 2.0)) < 1e-9):
-        return 0.5
-    return 0.0
+        A = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
+        if np.all(np.abs(A * 2.0 - np.round(A * 2.0)) < 1e-9):
+            q = 0.5
+    # cache on the (frozen-shape) program object: the A scan is O(rows*V)
+    # and certification asks repeatedly during LNS screening
+    object.__setattr__(prog, "_eps_quantum_cache", q)
+    return q
 
 
 def certified_bound(prog: BfbProgram, lb: float) -> float:
@@ -570,6 +582,7 @@ def solve_device(
     certify: bool = True,
     device=None,
     polish: bool = True,
+    lns_budget: Optional[float] = None,
 ) -> SolveResult:
     """`device` pins the search to one device (e.g. round-robin case
     dispatch across a host's local devices: searches on different
@@ -578,7 +591,10 @@ def solve_device(
     `polish` runs the LNS window re-solves (solver.lns) on the search
     incumbent when it falls short of the LP certificate — measured to
     recover the exact optimum on noisy S=32-64 suites where the raw
-    search plateaus a few epsilon above it.
+    search plateaus a few epsilon above it. `lns_budget` caps that
+    polish's wall clock (None: lns_polish's default / env
+    AMBIGRAM_LNS_BUDGET); batch callers divide one global budget across
+    their cases so a suite of uncertifiable programs cannot balloon.
 
     Search budget defaults are env-overridable (AMBIGRAM_SEARCH_POP /
     _ROUNDS / _SWEEPS) so tests and constrained hosts can shrink them
@@ -593,9 +609,10 @@ def solve_device(
         rounds = int(os.environ.get("AMBIGRAM_SEARCH_ROUNDS", 6))
     if max_sweeps is None:
         max_sweeps = int(os.environ.get("AMBIGRAM_SEARCH_SWEEPS", 256))
-    st = scoring_tensors(prog)
-    if device is not None:
-        st = jax.device_put(st, device)
+    with GLOBAL.phase("solve.tensors"):
+        st = scoring_tensors(prog)
+        if device is not None:
+            st = jax.device_put(st, device)
     X0 = np.array(_seed_population(prog, st, pop, seed))  # writable copy
     Vp = st.H.shape[1]
 
@@ -609,7 +626,8 @@ def solve_device(
         place(3, greedy_peel_seed(prog))
     # LP-rounding seeds: the relaxation is cheap on host and its
     # roundings cluster around the integer optimum
-    lb, x_frac = lp_relaxation(prog)
+    with GLOBAL.phase("solve.lp_bound"):
+        lb, x_frac = lp_relaxation(prog)
     if x_frac is not None and pop > 5:
         place(4, np.round(x_frac))
         place(5, np.floor(x_frac))
@@ -662,7 +680,9 @@ def solve_device(
         from ambigram_tpu.solver.lns import lns_polish
 
         with GLOBAL.phase("solve.lns"):
-            x_p, eps_p, vio_p = lns_polish(prog, x_int, target=tgt)
+            x_p, eps_p, vio_p = lns_polish(
+                prog, x_int, target=tgt, time_budget=lns_budget
+            )
         if (vio_p, eps_p) < (violation, eps_sum):
             x_int, eps_sum, violation = x_p, eps_p, vio_p
     status = "heuristic"
