@@ -41,6 +41,38 @@ GOLDEN_EGFR6 = (
     "1+2+3+4+5+6+|6-5-4-3-2-|2+3+4+|4-3-|3+4+|4-3-2-|2+3+4+5+6+|6-5-4-3-2-1-"
 )
 
+# The reference README's published expected outputs for the four TRX
+# modes (/root/reference/README.md:132-167), byte-for-byte.
+README_TRX_GOLDENS = [
+    (
+        "i1",
+        "readme_i1.lh",
+        "1+2+3+||6+||4+|4-||6-||3-2-|2+3+||6+||4+|4-||6-||3-2-",
+        "path",
+    ),
+    (
+        "i2",
+        "readme_i2.lh",
+        "1+2+3+||5+6+7+|7-6-||8+9+||4-3-2-|2+3+4+|4-3-",
+        "merged",
+    ),
+    (
+        "c1",
+        "readme_c1.lh",
+        "TRX-BFB mode: BFB path in the first stage:\n"
+        "8+||2+3+4+5+|7-6-5-4-3-2-||8-|8+||2+3+4+5+|7-6-5-4-3-2-|2+3+4+5+\n"
+        "TRX-BFB mode: BFB path in the second stage:\n"
+        "10-||4+5+|7-6-5-4-3-2-||8-|8+||2+3+4+5+|7-6-5-4-3-2-|2+3+4+5+\n",
+        "console",
+    ),
+    (
+        "c2",
+        "readme_c2.lh",
+        "1+2+3+4+|4-3-2-|2+3+||6+7+|7-6-|6+7+|7-6-5-",
+        "merged",
+    ),
+]
+
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _DATA = os.path.join(_REPO, "tests", "data")
 
@@ -162,6 +194,25 @@ def run_suite(solver: str = "exact", workdir: str | None = None) -> Dict:
             time.perf_counter() - t0,
             p,
         )
+
+        # 8. the reference README's four published TRX goldens, byte-
+        # for-byte (/root/reference/README.md:132-167; inputs
+        # reconstructed in tests/data/readme_{i1,i2,c1,c2}.lh since the
+        # reference's fixtures live in the external Ambigram_paper repo)
+        import io as _io
+
+        for name, fixture, want, field in README_TRX_GOLDENS:
+            t0 = time.perf_counter()
+            buf = _io.StringIO()
+            res = run_bfb(os.path.join(_DATA, fixture), solver=solver, out=buf)
+            if field == "path":
+                got = res.path_strings[0]
+            elif field == "merged":
+                got = res.merged_path_string
+            else:  # two-stage console output
+                got = buf.getvalue()
+            ok = (want in got) if field == "console" else (got == want)
+            record("readme_" + name, ok, time.perf_counter() - t0, got if field != "console" else want)
     finally:
         os.chdir(cwd)
 
