@@ -193,6 +193,36 @@ def simulate_bfb_case(
         path = chain_to_path(chain)
     else:
         path = bfb_process(rng, n_segments, rounds)
+    return case_from_path(
+        path,
+        n_segments,
+        rng,
+        seed=seed,
+        coverage=coverage,
+        chrom=chrom,
+        seg_len=seg_len,
+        start_pos=start_pos,
+        noise=noise,
+        n_juncs_fragments=n_juncs_fragments,
+    )
+
+
+def case_from_path(
+    path: List[Step],
+    n_segments: int,
+    rng: np.random.Generator,
+    seed: int = 0,
+    coverage: float = 30.0,
+    chrom: str = "chr7",
+    seg_len: int = 1000,
+    start_pos: int = 1000,
+    noise: float = 0.0,
+    n_juncs_fragments: int = 0,
+    sample_name: Optional[str] = None,
+) -> BfbCase:
+    """Assemble every derived input file (SV/SEG/LH/JUNCS) for a known
+    truth path — the common back half of simulate_bfb_case, shared with
+    the single-cell simulator."""
     seg_cn, fbi = path_stats(path, n_segments)
 
     # SEG table
@@ -234,7 +264,7 @@ def simulate_bfb_case(
 
     # LH text (direct, like generate_lh would produce)
     lh = [
-        "SAMPLE_NAME sim%d" % seed,
+        "SAMPLE_NAME %s" % (sample_name or "sim%d" % seed),
         "AVG_CHR_SEG_DP %g" % coverage,
         "AVG_WHOLE_HOST_DP %g" % coverage,
         "AVG_JUNC_DP %g" % coverage,
@@ -273,6 +303,90 @@ def simulate_bfb_case(
         seg_text=seg_text,
         juncs_lines=juncs_lines,
     )
+
+
+def mutate_nested_chain(
+    rng: np.random.Generator,
+    chain: List[Tuple[int, int]],
+    n_segments: int,
+    max_extra: int = 3,
+) -> List[Tuple[int, int]]:
+    """A child clone's chain: keep a random prefix of the parent's
+    nested chain (shared evolutionary history), then regrow with fresh
+    alternating-side shrinks (private BFB rounds after divergence).
+    Preserves the validity invariants of random_nested_chain."""
+    keep = int(rng.integers(1, len(chain) + 1))
+    out = list(chain[:keep])
+    # recover which endpoint the last kept step shrank, for alternation
+    last_side = None
+    if keep >= 2:
+        last_side = "right" if out[-1][1] < out[-2][1] else "left"
+    a, b = out[-1]
+    for _ in range(int(rng.integers(0, max_extra + 1))):
+        if b - a < 1:
+            break
+        if last_side is None:
+            side = "right" if rng.random() < 0.5 else "left"
+        else:
+            side = "left" if last_side == "right" else "right"
+        if side == "right":
+            b = int(rng.integers(a, b))
+        else:
+            a = int(rng.integers(a + 1, b + 1))
+        last_side = side
+        out.append((a, b))
+    return out
+
+
+@dataclass
+class ScCase:
+    """K subclones diverging along an evolution DAG, each with a known
+    truth path — the fixture family for `run_sc_bfb` (the reference's
+    BFB_ILP_SC has no simulator; clones there come from real data)."""
+
+    cases: List[BfbCase]
+    chains: List[List[Tuple[int, int]]]
+    edges: List[Tuple[int, int]]  # (parent, child), 0-based clone ids
+
+    def edges_arg(self, names: List[str]) -> str:
+        """The CLI --edges string for these evolution edges."""
+        return ",".join("%s:%s" % (names[a], names[b]) for a, b in self.edges)
+
+
+def simulate_sc_case(
+    seed: int = 0,
+    n_clones: int = 3,
+    n_segments: int = 12,
+    coverage: float = 30.0,
+    noise: float = 0.0,
+    topology: str = "chain",
+) -> ScCase:
+    """Simulate an SC case: the root clone plays a nested BFB chain;
+    each child keeps a shared prefix of its parent's chain and adds
+    private rounds. topology="chain" (0->1->...) or "star" (0->k)."""
+    rng = np.random.default_rng(seed)
+    root = random_nested_chain(rng, n_segments)
+    chains = [root]
+    edges: List[Tuple[int, int]] = []
+    for k in range(1, n_clones):
+        parent = 0 if topology == "star" else k - 1
+        chains.append(mutate_nested_chain(rng, chains[parent], n_segments))
+        edges.append((parent, k))
+    cases = []
+    for k, chain in enumerate(chains):
+        path = chain_to_path(chain)
+        cases.append(
+            case_from_path(
+                path,
+                n_segments,
+                rng,
+                seed=seed,
+                coverage=coverage,
+                noise=noise,
+                sample_name="sc%d_clone%d" % (seed, k),
+            )
+        )
+    return ScCase(cases=cases, chains=chains, edges=edges)
 
 
 def all_junctions(path: List[Step]) -> Dict[Tuple[int, str, int, str], int]:
