@@ -61,9 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--solver",
-        default="exact",
+        default="auto",
         choices=["exact", "device", "auto", "native"],
-        help="ILP solver backend (default: exact, in-process)",
+        help="ILP solver backend (default: auto — in-process exact MILP "
+        "for small programs, batched device search + LNS for large)",
     )
     p.add_argument(
         "--no-ledgers",

@@ -177,7 +177,7 @@ def run_bfb(
     juncs_info: bool = False,
     is_reversed: bool = False,
     print_all: bool = False,
-    solver: str = "exact",
+    solver: str = "auto",
     out=None,
     ledger_dir: Optional[str] = None,
     lp_prefix: str = "sample",

@@ -221,6 +221,111 @@ def bench_suite(n_cases=4, n_segments=48):
     return out
 
 
+def bench_batch(n_cases=12):
+    """Measured batch throughput (the BASELINE 'time-to-solution on the
+    suite' metric): run_bfb_many over a mixed-size case list on the
+    chip versus the reference-shaped serial per-case loop on the host
+    (in-process HiGHS standing in for check+cbc; the reference's own
+    protocol is one process per sample, localhap.cpp:111-265). Cases
+    alternate S=32 (sharded-batch branch) and S=48 (per-case device
+    search branch), noise 0.05. Compile warmup is reported separately —
+    both bucket shapes are warmed before the clock starts."""
+    import shutil
+
+    from ambigram_tpu.engine.pipeline import extract_programs, run_bfb, run_bfb_many
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+    from ambigram_tpu.solver.search import solve_device
+
+    td = tempfile.mkdtemp(prefix="ambigram_batch_bench_")
+    lh_paths = []
+    try:
+        for i in range(n_cases):
+            n_seg = 32 if i % 2 == 0 else 48
+            case = simulate_bfb_case(
+                seed=200 + i, n_segments=n_seg, rounds=5, mode="process", noise=0.05
+            )
+            paths = write_case(case, os.path.join(td, "b%d" % i))
+            lh_paths.append(paths["lh"])
+
+        # bucket warmup: one compile per padded shape, outside the clock
+        t0 = time.perf_counter()
+        for i in (0, 1):
+            prog = extract_programs(lh_paths[i])[0]
+            solve_device(prog, rounds=1, max_sweeps=2, polish=False, certify=False)
+        compile_seconds = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        batch_res = run_bfb_many(lh_paths, solver="device")
+        batch_secs = time.perf_counter() - t0
+        batch_ok = sum(1 for r in batch_res if r.path_strings)
+
+        t0 = time.perf_counter()
+        serial_ok = 0
+        for p in lh_paths:
+            r = run_bfb(p, solver="exact")
+            serial_ok += bool(r.path_strings)
+        serial_secs = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+    return {
+        "cases": "%dx mixed S32/S48 noise=0.05" % n_cases,
+        "compile_seconds": compile_seconds,
+        "batch_device": {
+            "seconds": round(batch_secs, 1),
+            "cases_per_min": round(60.0 * n_cases / batch_secs, 2),
+            "solved": batch_ok,
+        },
+        "serial_exact": {
+            "seconds": round(serial_secs, 1),
+            "cases_per_min": round(60.0 * n_cases / serial_secs, 2),
+            "solved": serial_ok,
+        },
+        "batch_speedup": round(serial_secs / batch_secs, 2) if batch_secs else 0.0,
+    }
+
+
+def bench_big():
+    """Opt-in (AMBIGRAM_BENCH_SUITE=big) large-S legs capturing the
+    S=64 / S=96 claims as artifacts: device search vs the 60s-budget
+    host MILP on one noisy case each."""
+    from ambigram_tpu.engine.pipeline import extract_programs
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+    from ambigram_tpu.solver.exact import solve_exact
+    from ambigram_tpu.solver.search import solve_device
+
+    import numpy as np
+
+    legs = {}
+    for n_seg in (64, 96):
+        case = simulate_bfb_case(
+            seed=300 + n_seg, n_segments=n_seg, rounds=6, mode="process", noise=0.05
+        )
+        td = tempfile.mkdtemp()
+        paths = write_case(case, os.path.join(td, "big%d" % n_seg))
+        prog = extract_programs(paths["lh"])[0]
+
+        def feas_eps(r):
+            ok = r.status in ("optimal", "heuristic") and float(
+                prog.hard_violation(r.x.astype(np.float64))
+            ) == 0.0
+            return round(r.epsilon_sum, 2) if ok else None
+
+        solve_device(prog, rounds=1, max_sweeps=2, polish=False, certify=False)  # compile
+        t0 = time.perf_counter()
+        rd = solve_device(prog)
+        dev_secs = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        re = solve_exact(prog, time_limit=60.0)
+        ex_secs = round(time.perf_counter() - t0, 1)
+        legs["S%d" % n_seg] = {
+            "vars": prog.num_vars,
+            "device": {"seconds": dev_secs, "eps": feas_eps(rd)},
+            "exact_60s": {"seconds": ex_secs, "eps": feas_eps(re)},
+        }
+    return legs
+
+
 def main():
     prog, st, X = build_workload()
     device_cps, _checksum, kernel_path = bench_device(st, X)
@@ -256,11 +361,12 @@ def main():
     # ~450s for one search bucket, and a driver timeout mid-suite must
     # not lose the primary metric
     print(json.dumps(payload), flush=True)
-    if os.environ.get("AMBIGRAM_BENCH_SUITE", "1") != "0":
+    suite_mode = os.environ.get("AMBIGRAM_BENCH_SUITE", "1")
+    if suite_mode != "0":
+        # secondary metric lines go to stderr so stdout stays the
+        # contractual single JSON line
         try:
             suite = bench_suite()
-            # the VERDICT-requested per-mode suite_seconds line; kept on
-            # stderr so stdout stays the contractual single JSON line
             print(
                 json.dumps({"metric": "suite_seconds_large_cases", **suite}),
                 file=sys.stderr,
@@ -268,6 +374,25 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             print("suite bench failed: %s" % e, file=sys.stderr)
+        try:
+            batch = bench_batch()
+            print(
+                json.dumps({"metric": "batch_throughput_cases_per_min", **batch}),
+                file=sys.stderr,
+                flush=True,
+            )
+        except Exception as e:  # pragma: no cover
+            print("batch bench failed: %s" % e, file=sys.stderr)
+    if suite_mode == "big":
+        try:
+            big = bench_big()
+            print(
+                json.dumps({"metric": "large_s_device_vs_exact", **big}),
+                file=sys.stderr,
+                flush=True,
+            )
+        except Exception as e:  # pragma: no cover
+            print("big bench failed: %s" % e, file=sys.stderr)
 
 
 if __name__ == "__main__":
