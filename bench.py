@@ -221,7 +221,7 @@ def bench_suite(n_cases=4, n_segments=48):
     return out
 
 
-def bench_batch(n_cases=12):
+def bench_batch(n_cases=8):
     """Measured batch throughput (the BASELINE 'time-to-solution on the
     suite' metric): run_bfb_many over a mixed-size case list on the
     chip versus the reference-shaped serial per-case loop on the host
@@ -258,13 +258,26 @@ def bench_batch(n_cases=12):
         batch_res = run_bfb_many(lh_paths, solver="device")
         batch_secs = time.perf_counter() - t0
         batch_ok = sum(1 for r in batch_res if r.path_strings)
+        batch_eps = round(sum(r.ilp_error for r in batch_res), 2)
+
+        # serial leg: per-case exact solve at a 15 s/case budget (an
+        # UNBOUNDED HiGHS run on one noisy S=48 case can take 300+ s,
+        # which would measure the budget policy, not the pipeline)
+        from ambigram_tpu.solver.exact import solve_exact
 
         t0 = time.perf_counter()
-        serial_ok = 0
+        serial_ok, serial_eps = 0, 0.0
         for p in lh_paths:
-            r = run_bfb(p, solver="exact")
+            progs = extract_programs(p)
+            presolved = [
+                solve_exact(pr, time_limit=15.0) if pr is not None else None
+                for pr in progs
+            ]
+            r = run_bfb(p, solver="exact", presolved=presolved)
             serial_ok += bool(r.path_strings)
+            serial_eps += r.ilp_error
         serial_secs = time.perf_counter() - t0
+        serial_eps = round(serial_eps, 2)
     finally:
         shutil.rmtree(td, ignore_errors=True)
 
@@ -275,11 +288,13 @@ def bench_batch(n_cases=12):
             "seconds": round(batch_secs, 1),
             "cases_per_min": round(60.0 * n_cases / batch_secs, 2),
             "solved": batch_ok,
+            "eps_sum": batch_eps,
         },
         "serial_exact": {
             "seconds": round(serial_secs, 1),
             "cases_per_min": round(60.0 * n_cases / serial_secs, 2),
             "solved": serial_ok,
+            "eps_sum": serial_eps,
         },
         "batch_speedup": round(serial_secs / batch_secs, 2) if batch_secs else 0.0,
     }
