@@ -553,15 +553,30 @@ def run_bfb_many(
             # of uncertifiable cases would balloon batch wall-clock
             total_lns = float(os.environ.get("AMBIGRAM_LNS_BUDGET", 45.0))
             per_case_lns = max(5.0, total_lns / len(big))
-            for k, (key, prog) in enumerate(big):
+
+            # thread pool: cases are independent, and each one
+            # alternates host work (LP seeding, LNS MILPs — HiGHS
+            # releases the GIL) with device work (the search — jax
+            # dispatch releases the GIL), so threading overlaps case
+            # i's polish with case j's search even on one chip.
+            # Results are per-case deterministic regardless of
+            # interleaving (fixed per-case seeds).
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _solve_big(item):
+                k, (key, prog) = item
                 if solver == "auto":
-                    solutions[key] = _solve(prog, "auto", lns_budget=per_case_lns)
-                else:
-                    solutions[key] = solve_device(
-                        prog,
-                        device=devices[k % len(devices)],
-                        lns_budget=per_case_lns,
-                    )
+                    return key, _solve(prog, "auto", lns_budget=per_case_lns)
+                return key, solve_device(
+                    prog,
+                    device=devices[k % len(devices)],
+                    lns_budget=per_case_lns,
+                )
+
+            workers = min(4, len(big))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                for key, sol in pool.map(_solve_big, enumerate(big)):
+                    solutions[key] = sol
             kept = [
                 (key, prog)
                 for key, prog in zip(index, flat)
