@@ -82,6 +82,31 @@ def test_score_batch_matches_numpy():
         assert scores[b] == pytest.approx(expect, rel=1e-5)
 
 
+def test_int8_device_expansion_matches_host_assembly():
+    """scoring_tensors' int8-only device path (ship H8, expand the f32
+    representation on device — solver/score.py _expand_f32) must be
+    bitwise identical to the host f32 assembly, tensors and scores."""
+    import jax
+
+    prog = _egfr_prog()
+    st_dev = scoring_tensors(prog)  # int8-exact: device expansion path
+    assert st_dev.use_int8
+    st_host = jax.device_put(scoring_tensors(prog, device=False))
+    for name in ("H", "lb", "ub", "x_ub", "H8", "lb_raw", "ub_raw", "w"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_dev, name)),
+            np.asarray(getattr(st_host, name)),
+            err_msg=name,
+        )
+    rng = np.random.default_rng(2)
+    X = np.zeros((32, st_dev.H.shape[1]), dtype=np.float32)
+    X[:, : prog.num_vars] = rng.integers(0, 3, size=(32, prog.num_vars))
+    np.testing.assert_array_equal(
+        np.asarray(score_batch_jit(st_dev, X)),
+        np.asarray(score_batch_jit(st_host, X)),
+    )
+
+
 def test_pallas_scorer_matches_reference_impl():
     prog = _egfr_prog()
     st = scoring_tensors(prog)
