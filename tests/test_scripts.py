@@ -229,3 +229,45 @@ def test_barcode_snap_matches_reference_semantics(tmp_path):
     bed = tmp_path / "r.bed"
     bed.write_text("".join("%s\t%d\t%d\t%s\n" % r for r in rows))
     assert read_barcode(str(bed), segs) == reference_groups(rows)
+
+
+def test_bench_docs_extract_and_render():
+    """bench_docs parses metric lines from raw bench output and from a
+    BENCH_r*.json driver artifact, and renders doc blocks containing
+    exactly the measured numbers."""
+    import json
+
+    from ambigram_tpu.scripts.bench_docs import (
+        extract_metrics,
+        render_architecture_block,
+        render_readme_block,
+    )
+
+    prim = {
+        "metric": "bfb_candidates_scored_per_sec_per_chip",
+        "value": 123.0,
+        "unit": "candidates/s",
+        "vs_baseline": 2.0,
+        "kernel_path": "pallas-fused-int8",
+    }
+    suite = {
+        "metric": "suite_seconds_large_cases",
+        "cases": "4xS48 noise=0.05",
+        "device_compile_seconds": 1.0,
+        "device": {"seconds": 10.0, "eps_sum": 5.0, "solved": 4, "stages": {"score": 1.0}},
+        "auto": {"seconds": 9.0, "eps_sum": 5.0, "solved": 4, "stages": {"solve.lns": 6.0}},
+        "exact": {"seconds": 30.0, "eps_sum": 5.0, "solved": 4},
+    }
+    raw = "noise\n%s\n%s\n" % (json.dumps(prim), json.dumps(suite))
+    m = extract_metrics(raw)
+    assert set(m) == {prim["metric"], suite["metric"]}
+
+    # driver-artifact form: stdout lines live in "tail"
+    artifact = json.dumps({"n": 3, "rc": 0, "tail": raw, "parsed": prim})
+    m2 = extract_metrics(artifact)
+    assert prim["metric"] in m2 and suite["metric"] in m2
+
+    readme = render_readme_block(m)
+    assert "pallas-fused-int8" in readme and "| auto | 9.0 | 5.00 | 4/4 |" in readme
+    arch = render_architecture_block(m)
+    assert "auto 9.0 s / device 10.0 s" in arch
