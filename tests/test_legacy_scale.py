@@ -192,3 +192,26 @@ def test_reference_junc_db_parses():
 
     db = JunctionDB(REF_JUNC_DB)
     assert len(db.records) > 100
+
+
+def test_solve_default_hap_path_uses_lp_prefix(tmp_path, monkeypatch):
+    """--op solve without --hap writes <lp_prefix>.haploids.txt instead
+    of dropping haploids.txt into the cwd (VERDICT r2 #9)."""
+    from ambigram_tpu.cli import main
+
+    lh_path = os.path.join(DATA, "legacy75.lh")
+    balanced = str(tmp_path / "b.lh")
+    assert (
+        main(
+            [
+                "--op", "check", "--in_lh", lh_path,
+                "--lp_prefix", str(tmp_path / "t"), "--out_lh", balanced,
+            ]
+        )
+        == 0
+    )
+    monkeypatch.chdir(tmp_path)
+    prefix = str(tmp_path / "mysample")
+    assert main(["--op", "solve", "--in_lh", balanced, "--lp_prefix", prefix]) == 0
+    assert os.path.exists(prefix + ".haploids.txt")
+    assert not os.path.exists(tmp_path / "haploids.txt")
