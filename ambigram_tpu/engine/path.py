@@ -18,7 +18,7 @@ happens in `expand_breakpoint_path`.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from ambigram_tpu.model.genome import Genome, Junction, Vertex, VertexPath
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import io as _io
 import os
-import sys
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -22,19 +21,14 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ambigram_tpu.engine.components import read_components
-from ambigram_tpu.engine.dag import all_topological_orders, construct_dag
-from ambigram_tpu.engine.enumerate import enumerate_pairs, sorted_key_order
+from ambigram_tpu.engine.dag import construct_dag
+from ambigram_tpu.engine.enumerate import sorted_key_order
 from ambigram_tpu.engine.ilp import BfbProgram, build_bfb_program
 from ambigram_tpu.engine.indel import get_indel_bias, indel_bfb
 from ambigram_tpu.engine.junccn import fbi_bias, get_junc_cn
-from ambigram_tpu.engine.path import (
-    expand_breakpoint_path,
-    format_bfb,
-    get_bfb,
-    replay_bfb,
-)
-from ambigram_tpu.engine.props import BfbProps, parse_bfb_props
-from ambigram_tpu.model.genome import Genome, Junction, Segment, Vertex, VertexPath
+from ambigram_tpu.engine.path import format_bfb, replay_bfb
+from ambigram_tpu.engine.props import parse_bfb_props
+from ambigram_tpu.model.genome import Genome, Junction, Segment, VertexPath
 
 
 @dataclass

@@ -21,12 +21,12 @@ from typing import List, Optional
 
 import numpy as np
 
-from ambigram_tpu.engine.dag import all_topological_orders, construct_dag
+from ambigram_tpu.engine.dag import construct_dag
 from ambigram_tpu.engine.enumerate import sorted_key_order
 from ambigram_tpu.engine.ilp import BfbProgram, build_bfb_program
 from ambigram_tpu.engine.indel import get_indel_bias, indel_bfb
 from ambigram_tpu.engine.junccn import get_junc_cn
-from ambigram_tpu.engine.path import format_bfb, get_bfb, replay_bfb
+from ambigram_tpu.engine.path import format_bfb, replay_bfb
 from ambigram_tpu.engine.props import parse_bfb_props
 from ambigram_tpu.model.genome import Genome, VertexPath
 

@@ -33,7 +33,7 @@ copy numbers back into a legacy-dialect `.balanced.lh`.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 
 @dataclass

@@ -20,7 +20,7 @@ junc epsilons, max coef on inferred junctions' x (discourage them).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

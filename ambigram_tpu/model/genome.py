@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ambigram_tpu.io.lh import JuncRecord, LhFile, SegRecord, parse_lh
+from ambigram_tpu.io.lh import LhFile, parse_lh
 
 
 def _cdiv(a: float, b: float) -> float:

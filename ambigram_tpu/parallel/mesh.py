@@ -16,16 +16,15 @@ until the final argmin, which XLA lowers to an all-reduce.
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ambigram_tpu.engine.ilp import BfbProgram
-from ambigram_tpu.solver.score import PENALTY, ScoringTensors, scoring_tensors
+from ambigram_tpu.solver.score import ScoringTensors, scoring_tensors
 
 
 def make_mesh(n_devices: Optional[int] = None, case_axis: Optional[int] = None) -> Mesh:

@@ -9,7 +9,7 @@ Generic port of the reference's evaluation capability:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Tuple
 
 Step = Tuple[int, str]
 

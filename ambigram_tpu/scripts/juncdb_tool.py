@@ -17,12 +17,11 @@ All coordinates follow the reference's 0-based internal convention
 
 from __future__ import annotations
 
-import argparse
 import gzip
 import sys
-from bisect import bisect_left, insort
+from bisect import bisect_left
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 SVInfo = Tuple[str, int, str, str, int, str]
 SVSupport = Tuple[int, str, int, str]  # left_clip, left_cigar, right_clip, right_cigar

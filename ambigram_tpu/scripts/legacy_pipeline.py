@@ -16,7 +16,7 @@ nothing (e.g. fasta extraction instead of pybedtools):
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 # effective hg38 chromosome sizes used by the simulation drivers
 # (reference script/e_size.py)

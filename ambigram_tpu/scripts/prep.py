@@ -22,10 +22,8 @@ message when pysam is genuinely required.
 from __future__ import annotations
 
 import argparse
-import math
-import os
 import sys
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 INF = float("inf")
 

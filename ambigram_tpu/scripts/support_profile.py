@@ -26,10 +26,9 @@ from __future__ import annotations
 
 import argparse
 import gzip
-import statistics
 import sys
 from bisect import bisect_left, bisect_right
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 from ambigram_tpu.scripts.juncdb_tool import Seg, SegmentDB
