@@ -586,7 +586,14 @@ def run_bfb_many(
         best = solve_cases_sharded(flat, mesh=mesh)
         total_lns = float(os.environ.get("AMBIGRAM_LNS_BUDGET", 45.0))
         per_case_lns = max(5.0, total_lns / len(flat))
-        for (i, n), prog, x in zip(index, flat, best):
+
+        def _post_one(args):
+            """Host-side polish/certify/fallback for one sharded
+            incumbent. Runs on a thread pool: HiGHS (LNS MILPs, the LP
+            bound, the exact fallback) and the native B&B all release
+            the GIL, so cases overlap on multi-core hosts and a single
+            slow fallback cannot serialize the whole batch."""
+            key, prog, x = args
             eps = float(prog.residual_objective(x.astype(np.float64)))
             vio = float(prog.hard_violation(x.astype(np.float64)))
             lb = None
@@ -622,10 +629,10 @@ def run_bfb_many(
                         prog, lb
                     ) + 1e-6
             if certified:
-                solutions[(i, n)] = SolveResult(
+                return key, SolveResult(
                     x=x, epsilon_sum=eps, objective=eps - prog.bias, status="optimal"
                 )
-            elif solver == "auto":
+            if solver == "auto":
                 from ambigram_tpu.solver.native_bnb import solve_native
 
                 warm = SolveResult(
@@ -638,31 +645,32 @@ def run_bfb_many(
                     prog, warm=warm if vio == 0 else None, time_limit_s=10.0
                 )
                 if nres is not None and nres.status in ("optimal", "infeasible"):
-                    solutions[(i, n)] = nres
-                else:
-                    eres = solve_exact(prog, time_limit=60.0)
-                    if eres.status in ("optimal", "infeasible"):
-                        solutions[(i, n)] = eres
-                    else:
-                        # no stage proved optimality: best feasible incumbent
-                        pool = [
-                            c
-                            for c in (warm, nres, eres)
-                            if c is not None
-                            and c.status == "heuristic"
-                            and float(prog.hard_violation(c.x.astype(np.float64)))
-                            == 0.0
-                        ]
-                        solutions[(i, n)] = (
-                            min(pool, key=lambda c: c.epsilon_sum) if pool else eres
-                        )
-            else:
-                solutions[(i, n)] = SolveResult(
-                    x=x,
-                    epsilon_sum=eps,
-                    objective=eps - prog.bias,
-                    status="heuristic" if vio == 0 else "error",
-                )
+                    return key, nres
+                eres = solve_exact(prog, time_limit=60.0)
+                if eres.status in ("optimal", "infeasible"):
+                    return key, eres
+                # no stage proved optimality: best feasible incumbent
+                pool = [
+                    c
+                    for c in (warm, nres, eres)
+                    if c is not None
+                    and c.status == "heuristic"
+                    and float(prog.hard_violation(c.x.astype(np.float64))) == 0.0
+                ]
+                return key, (min(pool, key=lambda c: c.epsilon_sum) if pool else eres)
+            return key, SolveResult(
+                x=x,
+                epsilon_sum=eps,
+                objective=eps - prog.bias,
+                status="heuristic" if vio == 0 else "error",
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(zip(index, flat, best))
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(items)))) as pool_ex:
+            for key, sol in pool_ex.map(_post_one, items):
+                solutions[key] = sol
     elif flat:
         from ambigram_tpu.solver.exact import solve_exact
 
