@@ -214,3 +214,62 @@ def run_check_solve(
         "circuits": circuits,
         "traversed": traversed,
     }
+
+
+# ----------------------------------------------------------------- CLI
+
+
+def main(argv: Sequence[str] = None) -> int:
+    """Subcommands mirroring the simu.py stages that run without
+    external tools: `var` (mutforge variant file), `check_solve` (the
+    in-process legacy check -> solve leg)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="virus_sim")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pv = sub.add_parser("var", help="generate a mutforge variant file")
+    pv.add_argument("--host_chrs", required=True, help="comma list, e.g. chr7,chr11")
+    pv.add_argument("--v_chr", required=True, help="virus chromosome name")
+    pv.add_argument("--v_len", type=int, required=True)
+    pv.add_argument("--out_dir", default=".")
+    pv.add_argument("--fa_file", required=True, help="mixed host+virus fasta")
+    pv.add_argument("--seed", type=int, default=0)
+    pv.add_argument("--inserts_per_chr", type=int, default=2)
+
+    pc = sub.add_parser("check_solve", help="in-process check -> solve leg")
+    pc.add_argument("--in_lh", required=True)
+    pc.add_argument("--out_prefix", required=True)
+    pc.add_argument("--juncdb", default="")
+    pc.add_argument("--tgs_order", default="")
+    pc.add_argument("--hic_matrix", default="")
+
+    args = p.parse_args(argv)
+    if args.cmd == "var":
+        path = generate_var_file(
+            args.host_chrs.split(","),
+            args.v_chr,
+            args.v_len,
+            args.out_dir,
+            args.fa_file,
+            seed=args.seed,
+            inserts_per_chr=args.inserts_per_chr,
+        )
+        print(path)
+        return 0
+    out = run_check_solve(
+        args.in_lh,
+        args.out_prefix,
+        juncdb=args.juncdb,
+        tgs_order=args.tgs_order,
+        hic_matrix=args.hic_matrix,
+    )
+    for k, v in out.items():
+        print("%s\t%s" % (k, v))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(main())
