@@ -531,12 +531,26 @@ def run_bfb_many(
         # owns that regime anyway — route each through the device-first
         # flow, round-robin over local devices in pure device mode
         # (async dispatch overlaps the searches).
+        #
+        # With a SINGLE case-parallel slot the stacked pass is strictly
+        # worse than per-case searches for every size (measured on 4x
+        # S=32 noisy cases, one v5e chip: stacked 19.5 s, per-case
+        # 9.7 s at equal-or-better epsilon — the stacked greedy step is
+        # weaker than full basin hopping and buys nothing without case
+        # parallelism), so everything goes per-case then.
         import jax as _jax
 
+        if mesh is not None:
+            n_case_slots = int(mesh.devices.shape[0])
+        else:
+            from ambigram_tpu.parallel.mesh import make_mesh
+
+            n_case_slots = int(make_mesh().devices.shape[0])
+        big_cut = AUTO_EXACT_FIRST_MAX_VARS if n_case_slots > 1 else 0
         big = [
             (key, prog)
             for key, prog in zip(index, flat)
-            if prog.num_vars > AUTO_EXACT_FIRST_MAX_VARS
+            if prog.num_vars > big_cut
         ]
         if big:
             from ambigram_tpu.solver.search import solve_device
@@ -574,7 +588,7 @@ def run_bfb_many(
             kept = [
                 (key, prog)
                 for key, prog in zip(index, flat)
-                if prog.num_vars <= AUTO_EXACT_FIRST_MAX_VARS
+                if prog.num_vars <= big_cut
             ]
             index = [key for key, _ in kept]
             flat = [prog for _, prog in kept]
