@@ -150,16 +150,28 @@ def sharded_step(mesh: Mesh):
 def solve_cases_sharded(
     progs: Sequence[BfbProgram],
     mesh: Optional[Mesh] = None,
-    pop: int = 32,
-    steps: int = 48,
-    rounds: int = 4,
+    pop: Optional[int] = None,
+    steps: Optional[int] = None,
+    rounds: Optional[int] = None,
     seed: int = 0,
 ) -> List[np.ndarray]:
     """Solve a batch of cases data-parallel across the mesh; returns the
     best integer candidate per case. Each round runs greedy best-move
     steps on device, then restarts every member from the per-case best
     with random kicks (the basin-hopping pattern of
-    ambigram_tpu.solver.search, fanned over the case axis)."""
+    ambigram_tpu.solver.search, fanned over the case axis).
+
+    Budgets default from the same env knobs as solve_device
+    (AMBIGRAM_SEARCH_POP / _SWEEPS / _ROUNDS) so tests and constrained
+    hosts can shrink the stacked pass without plumbing arguments."""
+    import os
+
+    if pop is None:
+        pop = int(os.environ.get("AMBIGRAM_SEARCH_POP", 32))
+    if steps is None:
+        steps = int(os.environ.get("AMBIGRAM_SEARCH_SWEEPS", 48))
+    if rounds is None:
+        rounds = int(os.environ.get("AMBIGRAM_SEARCH_ROUNDS", 4))
     if mesh is None:
         mesh = make_mesh()
     case_dim = mesh.devices.shape[0]

@@ -115,3 +115,30 @@ def test_run_bfb_many_large_programs_roundrobin(tmp_path, monkeypatch):
     results = run_bfb_many(paths, solver="device")
     for res, truth in zip(results, truths):
         assert multiplicity_diff(truth, res.path_strings[0]) == 0
+
+
+def test_run_bfb_many_mixed_sizes_threaded(tmp_path, monkeypatch):
+    """Batch over mixed sizes exercises the exact prepass (V<=512) and
+    the stacked sharded pass (mid-size, multi-slot CPU mesh) plus the
+    threaded post-sharded polish under concurrency (the V>2048
+    per-case branch has its own test above). Noise-free cases must come
+    back exactly recovered."""
+    from ambigram_tpu.engine.pipeline import run_bfb_many
+    from ambigram_tpu.scripts.evaluate import multiplicity_diff
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+
+    monkeypatch.setenv("AMBIGRAM_SEARCH_POP", "4")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_ROUNDS", "1")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_SWEEPS", "32")
+    monkeypatch.setenv("AMBIGRAM_LNS_BUDGET", "20")
+    sizes = [8, 14, 24, 33]  # V = 72, 210, 600, 1122
+    cases, paths = [], []
+    for i, n in enumerate(sizes):
+        case = simulate_bfb_case(seed=40 + i, n_segments=n, mode="nested")
+        cases.append(case)
+        paths.append(write_case(case, str(tmp_path / ("m%d" % i)))["lh"])
+    results = run_bfb_many(paths, solver="auto")
+    assert len(results) == len(sizes)
+    for case, res in zip(cases, results):
+        assert res.path_strings
+        assert multiplicity_diff(case.truth_string, res.path_strings[0]) == 0
