@@ -540,12 +540,11 @@ def run_bfb_many(
         # parallelism), so everything goes per-case then.
         import jax as _jax
 
-        if mesh is not None:
-            n_case_slots = int(mesh.devices.shape[0])
-        else:
+        if mesh is None:
             from ambigram_tpu.parallel.mesh import make_mesh
 
-            n_case_slots = int(make_mesh().devices.shape[0])
+            mesh = make_mesh()  # reused by the stacked pass below
+        n_case_slots = int(mesh.devices.shape[0])
         big_cut = AUTO_EXACT_FIRST_MAX_VARS if n_case_slots > 1 else 0
         big = [
             (key, prog)
@@ -556,11 +555,16 @@ def run_bfb_many(
             from ambigram_tpu.solver.search import solve_device
 
             devices = _jax.local_devices()
-            # one global LNS budget split across the batch's big cases:
-            # per-case polish defaults to ~45 s, and N serial polishes
-            # of uncertifiable cases would balloon batch wall-clock
+            # one global LNS WALL-CLOCK budget for the batch: cases run
+            # `workers` at a time, so per-case budget = total divided by
+            # the number of serial waves — total LNS wall-clock stays
+            # ~AMBIGRAM_LNS_BUDGET regardless of batch size (a flat
+            # per-case floor would grow linearly with the batch)
+            import math
+
+            workers = min(4, len(big))
             total_lns = float(os.environ.get("AMBIGRAM_LNS_BUDGET", 45.0))
-            per_case_lns = max(5.0, total_lns / len(big))
+            per_case_lns = max(1.0, total_lns / math.ceil(len(big) / workers))
 
             # thread pool: cases are independent, and each one
             # alternates host work (LP seeding, LNS MILPs — HiGHS
@@ -581,7 +585,6 @@ def run_bfb_many(
                     lns_budget=per_case_lns,
                 )
 
-            workers = min(4, len(big))
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 for key, sol in pool.map(_solve_big, enumerate(big)):
                     solutions[key] = sol
@@ -598,8 +601,14 @@ def run_bfb_many(
         from ambigram_tpu.solver.search import lp_lower_bound
 
         best = solve_cases_sharded(flat, mesh=mesh)
+        # same global LNS wall-clock policy as the big-case branch
+        import math
+
+        post_workers = min(4, max(1, len(flat)))
         total_lns = float(os.environ.get("AMBIGRAM_LNS_BUDGET", 45.0))
-        per_case_lns = max(5.0, total_lns / len(flat))
+        per_case_lns = max(
+            1.0, total_lns / math.ceil(len(flat) / post_workers)
+        )
 
         def _post_one(args):
             """Host-side polish/certify/fallback for one sharded
@@ -682,7 +691,7 @@ def run_bfb_many(
         from concurrent.futures import ThreadPoolExecutor
 
         items = list(zip(index, flat, best))
-        with ThreadPoolExecutor(max_workers=min(4, max(1, len(items)))) as pool_ex:
+        with ThreadPoolExecutor(max_workers=post_workers) as pool_ex:
             for key, sol in pool_ex.map(_post_one, items):
                 solutions[key] = sol
     elif flat:

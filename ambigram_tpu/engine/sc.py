@@ -112,13 +112,37 @@ def parse_evolution_edges(edges: str, names: List[str]) -> List[List[int]]:
             "unknown clone %r in evolution edges (clones: %s)" % (tok, names)
         )
 
+    seen = set()
     for pair in edges.split(","):
         if not pair.strip():
             continue
-        a, sep, b = pair.partition(":")
-        if not sep:
+        if ":" not in pair:
             raise ValueError("evolution edge %r is not parent:child" % pair)
-        evolution[resolve(a)].append(resolve(b))
+        # clone names may themselves contain colons (paths like
+        # /data/run:3/c1.lh), so try every split point until both
+        # sides resolve
+        parsed = None
+        for k in range(len(pair)):
+            if pair[k] != ":":
+                continue
+            try:
+                parsed = (resolve(pair[:k]), resolve(pair[k + 1 :]))
+                break
+            except ValueError:
+                continue
+        if parsed is None:
+            raise ValueError(
+                "cannot resolve evolution edge %r (clones: %s)" % (pair, names)
+            )
+        a_i, b_i = parsed
+        if a_i == b_i:
+            raise ValueError("evolution edge %r couples a clone to itself" % pair)
+        # coupling rows are |x_a - x_b| — direction-free — so a repeated
+        # or reversed pair would silently double the coupling weight
+        if (min(a_i, b_i), max(a_i, b_i)) in seen:
+            continue
+        seen.add((min(a_i, b_i), max(a_i, b_i)))
+        evolution[a_i].append(b_i)
     return evolution
 
 

@@ -161,17 +161,21 @@ def solve_cases_sharded(
     with random kicks (the basin-hopping pattern of
     ambigram_tpu.solver.search, fanned over the case axis).
 
-    Budgets default from the same env knobs as solve_device
-    (AMBIGRAM_SEARCH_POP / _SWEEPS / _ROUNDS) so tests and constrained
-    hosts can shrink the stacked pass without plumbing arguments."""
+    Budgets are env-overridable via AMBIGRAM_SHARD_POP / _STEPS /
+    _ROUNDS so tests and constrained hosts can shrink the stacked pass
+    without plumbing arguments. The knobs are deliberately separate
+    from solve_device's AMBIGRAM_SEARCH_* ones: a "step" here is one
+    greedy best-move application (48 by default), not a full descent
+    sweep (256 by default there) — sharing names would silently scale
+    one when tuning the other."""
     import os
 
     if pop is None:
-        pop = int(os.environ.get("AMBIGRAM_SEARCH_POP", 32))
+        pop = int(os.environ.get("AMBIGRAM_SHARD_POP", 32))
     if steps is None:
-        steps = int(os.environ.get("AMBIGRAM_SEARCH_SWEEPS", 48))
+        steps = int(os.environ.get("AMBIGRAM_SHARD_STEPS", 48))
     if rounds is None:
-        rounds = int(os.environ.get("AMBIGRAM_SEARCH_ROUNDS", 4))
+        rounds = int(os.environ.get("AMBIGRAM_SHARD_ROUNDS", 4))
     if mesh is None:
         mesh = make_mesh()
     case_dim = mesh.devices.shape[0]

@@ -21,15 +21,24 @@ class PhaseStats:
 
 
 class Profiler:
-    """Accumulating named phase timers + counters."""
+    """Accumulating named phase timers + counters.
+
+    Thread-safe accumulation: the batch pipeline runs solver stages on
+    thread pools, and the += updates are read-modify-write. Note that
+    overlapping phases from concurrent threads legitimately sum to more
+    than wall-clock (they report CPU-occupancy-style totals)."""
 
     def __init__(self) -> None:
+        import threading
+
         self.phases: Dict[str, PhaseStats] = {}
         self.counters: Dict[str, float] = {}
+        self._lock = threading.Lock()
 
     def reset(self) -> None:
-        self.phases.clear()
-        self.counters.clear()
+        with self._lock:
+            self.phases.clear()
+            self.counters.clear()
 
     @contextlib.contextmanager
     def phase(self, name: str) -> Iterator[None]:
@@ -37,12 +46,15 @@ class Profiler:
         try:
             yield
         finally:
-            stats = self.phases.setdefault(name, PhaseStats())
-            stats.seconds += time.perf_counter() - t0
-            stats.calls += 1
+            dt = time.perf_counter() - t0
+            with self._lock:
+                stats = self.phases.setdefault(name, PhaseStats())
+                stats.seconds += dt
+                stats.calls += 1
 
     def count(self, name: str, value: float = 1.0) -> None:
-        self.counters[name] = self.counters.get(name, 0.0) + value
+        with self._lock:
+            self.counters[name] = self.counters.get(name, 0.0) + value
 
     def candidates_per_second(self) -> Optional[float]:
         scored = self.counters.get("candidates_scored", 0.0)

@@ -133,22 +133,27 @@ def bench_baseline(prog, X, iters=2):
 
 
 def suite_programs(n_cases=4, n_segments=48, noise=0.05):
+    import shutil
+
     from ambigram_tpu.engine.pipeline import extract_programs
     from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
 
     progs = []
-    for seed in range(n_cases):
-        case = simulate_bfb_case(
-            seed=seed,
-            n_segments=n_segments,
-            rounds=5,
-            coverage=30.0,
-            mode="process",
-            noise=noise,
-        )
-        td = tempfile.mkdtemp()
-        paths = write_case(case, os.path.join(td, "c%d" % seed))
-        progs.append(extract_programs(paths["lh"])[0])
+    td = tempfile.mkdtemp(prefix="ambigram_suite_bench_")
+    try:
+        for seed in range(n_cases):
+            case = simulate_bfb_case(
+                seed=seed,
+                n_segments=n_segments,
+                rounds=5,
+                coverage=30.0,
+                mode="process",
+                noise=noise,
+            )
+            paths = write_case(case, os.path.join(td, "c%d" % seed))
+            progs.append(extract_programs(paths["lh"])[0])
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
     return progs
 
 
@@ -212,6 +217,7 @@ def bench_suite(n_cases=4, n_segments=48):
 
     out = {
         "cases": "%dxS%d noise=0.05" % (n_cases, n_segments),
+        "n_cases": n_cases,
         "device_compile_seconds": compile_seconds,
     }
     for mode in ("device", "auto", "exact"):
@@ -304,6 +310,8 @@ def bench_big():
     """Opt-in (AMBIGRAM_BENCH_SUITE=big) large-S legs capturing the
     S=64 / S=96 claims as artifacts: device search vs the 60s-budget
     host MILP on one noisy case each."""
+    import shutil
+
     from ambigram_tpu.engine.pipeline import extract_programs
     from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
     from ambigram_tpu.solver.exact import solve_exact
@@ -317,8 +325,11 @@ def bench_big():
             seed=300 + n_seg, n_segments=n_seg, rounds=6, mode="process", noise=0.05
         )
         td = tempfile.mkdtemp()
-        paths = write_case(case, os.path.join(td, "big%d" % n_seg))
-        prog = extract_programs(paths["lh"])[0]
+        try:
+            paths = write_case(case, os.path.join(td, "big%d" % n_seg))
+            prog = extract_programs(paths["lh"])[0]
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
 
         def feas_eps(r):
             ok = r.status in ("optimal", "heuristic") and float(

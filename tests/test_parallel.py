@@ -130,6 +130,9 @@ def test_run_bfb_many_mixed_sizes_threaded(tmp_path, monkeypatch):
     monkeypatch.setenv("AMBIGRAM_SEARCH_POP", "4")
     monkeypatch.setenv("AMBIGRAM_SEARCH_ROUNDS", "1")
     monkeypatch.setenv("AMBIGRAM_SEARCH_SWEEPS", "32")
+    monkeypatch.setenv("AMBIGRAM_SHARD_POP", "4")
+    monkeypatch.setenv("AMBIGRAM_SHARD_ROUNDS", "1")
+    monkeypatch.setenv("AMBIGRAM_SHARD_STEPS", "24")
     monkeypatch.setenv("AMBIGRAM_LNS_BUDGET", "20")
     sizes = [8, 14, 24, 33]  # V = 72, 210, 600, 1122
     cases, paths = [], []

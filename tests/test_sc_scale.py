@@ -38,6 +38,16 @@ def test_parse_evolution_edges_grammar():
         parse_evolution_edges("a.lh:nope.lh", names)
     with pytest.raises(ValueError):
         parse_evolution_edges("a.lh", names)
+    # clone names containing colons resolve (split point is searched)
+    cnames = ["/data/run:3/c1.lh", "/data/run:3/c2.lh"]
+    assert parse_evolution_edges(
+        "/data/run:3/c1.lh:/data/run:3/c2.lh", cnames
+    ) == [[1], []]
+    # self-coupling is rejected; reversed/duplicate pairs collapse (the
+    # coupling rows are |x_a - x_b|, direction-free)
+    with pytest.raises(ValueError):
+        parse_evolution_edges("1:1", names)
+    assert parse_evolution_edges("1:2,2:1,1:2", names) == [[1], [], []]
 
 
 @pytest.mark.parametrize(
