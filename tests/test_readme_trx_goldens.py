@@ -87,3 +87,22 @@ def test_readme_i1_solver_independent(tmp_path, monkeypatch, solver):
     monkeypatch.setenv("AMBIGRAM_SEARCH_SWEEPS", "64")
     res = run_bfb(os.path.join(DATA, "readme_i1.lh"), solver=solver)
     assert res.path_strings[0] == I1_GOLDEN
+
+
+def test_readme_juncs_example_keeps_golden(tmp_path, monkeypatch):
+    """The README documents a test.juncs example (README.md:169-176)
+    whose fragments are consistent with the EGFR golden path; feeding
+    it as --juncdb --junc_info must keep the golden output (the JUNCS
+    evidence rows constrain, not contradict)."""
+    monkeypatch.chdir(tmp_path)
+    golden = (
+        "1+2+3+4+5+6+|6-5-4-3-2-|2+3+4+|4-3-|3+4+|4-3-2-|2+3+4+5+6+"
+        "|6-5-4-3-2-1-"
+    )
+    res = run_bfb(
+        os.path.join(DATA, "egfr6.lh"),
+        juncs_path=os.path.join(DATA, "readme_test.juncs"),
+        juncs_info=True,
+        solver="exact",
+    )
+    assert res.path_strings[0] == golden
