@@ -581,13 +581,18 @@ def write_case(case: BfbCase, prefix: str) -> Dict[str, str]:
         "seg": prefix + "_seg.txt",
         "truth": prefix + "_truth.txt",
     }
-    open(paths["lh"], "w").write(case.lh_text)
-    open(paths["sv"], "w").write(case.sv_text)
-    open(paths["seg"], "w").write(case.seg_text)
-    open(paths["truth"], "w").write(case.truth_string + "\n")
+    contents = {
+        "lh": case.lh_text,
+        "sv": case.sv_text,
+        "seg": case.seg_text,
+        "truth": case.truth_string + "\n",
+    }
     if case.juncs_lines:
         paths["juncs"] = prefix + ".juncs"
-        open(paths["juncs"], "w").write("\n".join(case.juncs_lines) + "\n")
+        contents["juncs"] = "\n".join(case.juncs_lines) + "\n"
+    for key, text in contents.items():
+        with open(paths[key], "w") as f:
+            f.write(text)
     return paths
 
 
