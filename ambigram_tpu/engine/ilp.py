@@ -43,7 +43,9 @@ class BfbProgram:
     c_seg: np.ndarray  # [n]
     A_fbi: np.ndarray  # [n, 2T] float64: FBI-CN residual rows
     c_fbi: np.ndarray  # [n]
-    G: np.ndarray  # [m, 2T] float64: hard constraint rows
+    G: np.ndarray  # [m, 2T] int8: hard constraint rows (small-integer
+    #   coefficients by construction; consumers upcast — this matrix is
+    #   the program's memory giant at large S)
     g_lb: np.ndarray  # [m]
     g_ub: np.ndarray  # [m]
     x_ub: np.ndarray  # [2T] variable upper bounds (p: 1, l: max_cn)
@@ -255,7 +257,12 @@ def _build_bfb_program_loops(
         del nonempty
         add_row(row, 0, 5)
 
-    G = np.array(G_rows, dtype=np.float64) if G_rows else np.zeros((0, V))
+    if G_rows:
+        G64 = np.array(G_rows, dtype=np.float64)
+        G = G64.astype(np.int8)
+        assert np.array_equal(G, G64), "hard-row coefficient outside int8"
+    else:
+        G = np.zeros((0, V), dtype=np.int8)
     x_ub = np.concatenate(
         [np.ones(T, dtype=np.float64), np.full(T, float(max_cn), dtype=np.float64)]
     )
@@ -478,11 +485,22 @@ def build_bfb_program(
         rows_c = np.concatenate(rows_list) if rows_list else np.zeros(0, dtype=np.int64)
         cols_c = np.concatenate(cols_list) if cols_list else np.zeros(0, dtype=np.int64)
         vals_c = np.concatenate(vals_list) if vals_list else np.zeros(0)
-        G = coo_matrix((vals_c, (rows_c, cols_c)), shape=(M, V)).toarray()
+        # dense G in int8: every hard-row coefficient is a small integer
+        # by construction, and G is the memory giant of the program —
+        # O(S^2) rows x O(S^2) cols (S=96: 23k x 9312 = 1.7 GB as f64,
+        # 213 MB as int8; S=128 would not fit as f64). Consumers upcast
+        # exactly: x @ G.T promotes to float, PENALTY * G to f64, and
+        # scoring_tensors' int8 path takes it as-is. Assembled via int16
+        # so COO duplicate-summing cannot wrap before the final check.
+        G16 = coo_matrix(
+            (vals_c.astype(np.int16), (rows_c, cols_c)), shape=(M, V)
+        ).toarray()
+        G = G16.astype(np.int8)
+        assert np.array_equal(G, G16), "hard-row coefficient outside int8"
         g_lb = np.concatenate(lb_parts)
         g_ub = np.concatenate(ub_parts)
     else:
-        G = np.zeros((0, V))
+        G = np.zeros((0, V), dtype=np.int8)
         g_lb = np.zeros(0)
         g_ub = np.zeros(0)
 
