@@ -107,6 +107,15 @@ def main(argv=None) -> int:
 
 
 def _dispatch(args) -> int:
+    if args.edges and args.op != "sc_bfb":
+        # --edges silently doing nothing would let a user believe an
+        # evolution DAG was applied when it was not
+        print(
+            "error: --edges is only meaningful with --op sc_bfb (got --op %s)"
+            % args.op,
+            file=sys.stderr,
+        )
+        return 2
     if args.op == "bfb":
         from ambigram_tpu.engine.pipeline import run_bfb
 

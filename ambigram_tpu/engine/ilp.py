@@ -491,7 +491,14 @@ def build_bfb_program(
         # 213 MB as int8; S=128 would not fit as f64). Consumers upcast
         # exactly: x @ G.T promotes to float, PENALTY * G to f64, and
         # scoring_tensors' int8 path takes it as-is. Assembled via int16
-        # so COO duplicate-summing cannot wrap before the final check.
+        # so COO duplicate-summing cannot wrap before the final check;
+        # the integrality check runs against the FLOAT values first (an
+        # astype would silently truncate a fractional coefficient before
+        # the int8 range check could see it — the loop builder's anchor
+        # at line ~261 checks against f64 and this path must be as safe).
+        assert np.array_equal(
+            vals_c, np.round(vals_c)
+        ), "fractional hard-row coefficient"
         G16 = coo_matrix(
             (vals_c.astype(np.int16), (rows_c, cols_c)), shape=(M, V)
         ).toarray()

@@ -74,6 +74,18 @@ AUTO_EXACT_FIRST_MAX_VARS = 2048
 BATCH_EXACT_PREPASS_MAX_VARS = 512
 
 
+def _per_case_lns_budget(n_cases: int, workers: int) -> float:
+    """One global LNS wall-clock budget for a batch: cases run `workers`
+    at a time, so per-case budget = total divided by the number of
+    serial waves — total LNS wall-clock stays ~AMBIGRAM_LNS_BUDGET
+    regardless of batch size (a flat per-case floor would grow linearly
+    with the batch)."""
+    import math
+
+    total = float(os.environ.get("AMBIGRAM_LNS_BUDGET", 45.0))
+    return max(1.0, total / math.ceil(max(1, n_cases) / max(1, workers)))
+
+
 def _solve(prog: BfbProgram, solver: str, lns_budget: Optional[float] = None):
     from ambigram_tpu.utils.profiling import GLOBAL
 
@@ -538,8 +550,6 @@ def run_bfb_many(
         # 9.7 s at equal-or-better epsilon — the stacked greedy step is
         # weaker than full basin hopping and buys nothing without case
         # parallelism), so everything goes per-case then.
-        import jax as _jax
-
         if mesh is None:
             from ambigram_tpu.parallel.mesh import make_mesh
 
@@ -554,17 +564,12 @@ def run_bfb_many(
         if big:
             from ambigram_tpu.solver.search import solve_device
 
-            devices = _jax.local_devices()
-            # one global LNS WALL-CLOCK budget for the batch: cases run
-            # `workers` at a time, so per-case budget = total divided by
-            # the number of serial waves — total LNS wall-clock stays
-            # ~AMBIGRAM_LNS_BUDGET regardless of batch size (a flat
-            # per-case floor would grow linearly with the batch)
-            import math
-
+            # per-case searches stay on the caller's mesh: a caller that
+            # restricted the batch to a device subset (shared hosts)
+            # must not have cases round-robined onto chips outside it
+            devices = list(mesh.devices.flatten())
             workers = min(4, len(big))
-            total_lns = float(os.environ.get("AMBIGRAM_LNS_BUDGET", 45.0))
-            per_case_lns = max(1.0, total_lns / math.ceil(len(big) / workers))
+            per_case_lns = _per_case_lns_budget(len(big), workers)
 
             # thread pool: cases are independent, and each one
             # alternates host work (LP seeding, LNS MILPs — HiGHS
@@ -602,13 +607,8 @@ def run_bfb_many(
 
         best = solve_cases_sharded(flat, mesh=mesh)
         # same global LNS wall-clock policy as the big-case branch
-        import math
-
         post_workers = min(4, max(1, len(flat)))
-        total_lns = float(os.environ.get("AMBIGRAM_LNS_BUDGET", 45.0))
-        per_case_lns = max(
-            1.0, total_lns / math.ceil(len(flat) / post_workers)
-        )
+        per_case_lns = _per_case_lns_budget(len(flat), post_workers)
 
         def _post_one(args):
             """Host-side polish/certify/fallback for one sharded

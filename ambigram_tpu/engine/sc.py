@@ -119,17 +119,24 @@ def parse_evolution_edges(edges: str, names: List[str]) -> List[List[int]]:
         if ":" not in pair:
             raise ValueError("evolution edge %r is not parent:child" % pair)
         # clone names may themselves contain colons (paths like
-        # /data/run:3/c1.lh), so try every split point until both
-        # sides resolve
-        parsed = None
+        # /data/run:3/c1.lh), so try every split point; if more than
+        # one split resolves to a DIFFERENT edge the input is genuinely
+        # ambiguous — raise instead of silently picking one
+        candidates = set()
         for k in range(len(pair)):
             if pair[k] != ":":
                 continue
             try:
-                parsed = (resolve(pair[:k]), resolve(pair[k + 1 :]))
-                break
+                candidates.add((resolve(pair[:k]), resolve(pair[k + 1 :])))
             except ValueError:
                 continue
+        if len(candidates) > 1:
+            raise ValueError(
+                "ambiguous evolution edge %r: resolves to %s — rename the "
+                "clone files or use 1-based indices"
+                % (pair, sorted(candidates))
+            )
+        parsed = candidates.pop() if candidates else None
         if parsed is None:
             raise ValueError(
                 "cannot resolve evolution edge %r (clones: %s)" % (pair, names)

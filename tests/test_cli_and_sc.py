@@ -82,3 +82,27 @@ def test_sc_program_coupling():
     sym_cost = sc.residual_objective(x)
     asym_cost = sc.residual_objective(asym)
     assert asym_cost != sym_cost
+
+
+def test_cli_edges_requires_sc_bfb(tmp_path):
+    """--edges with a non-sc op is an input error, not a silent no-op."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "ambigram_tpu.cli",
+            "--op", "bfb",
+            "--in_lh", os.path.join(DATA, "egfr6.lh"),
+            "--lp_prefix", str(tmp_path / "t"),
+            "--edges", "1:2",
+            "--no-ledgers",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        timeout=120,
+    )
+    assert out.returncode == 2
+    assert "--edges is only meaningful" in out.stderr

@@ -145,3 +145,41 @@ def test_run_bfb_many_mixed_sizes_threaded(tmp_path, monkeypatch):
     for case, res in zip(cases, results):
         assert res.path_strings
         assert multiplicity_diff(case.truth_string, res.path_strings[0]) == 0
+
+
+def test_run_bfb_many_respects_restricted_mesh(tmp_path, monkeypatch):
+    """A caller-restricted 1-device mesh confines EVERY per-case device
+    search to that mesh's devices — cases must not be round-robined
+    onto chips outside it (self-review r3: single-slot routing used all
+    local devices)."""
+    import jax
+
+    from ambigram_tpu.engine import pipeline as pl
+    from ambigram_tpu.parallel.mesh import make_mesh
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+    from ambigram_tpu.solver.search import solve_device as real_solve_device
+
+    monkeypatch.setenv("AMBIGRAM_SEARCH_POP", "4")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_ROUNDS", "1")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_SWEEPS", "16")
+    monkeypatch.setenv("AMBIGRAM_LNS_BUDGET", "5")
+    monkeypatch.chdir(tmp_path)
+    mesh = make_mesh(1)
+    allowed = set(mesh.devices.flatten())
+    used = []
+
+    def recording_solve_device(prog, device=None, **kw):
+        used.append(device)
+        return real_solve_device(prog, device=device, **kw)
+
+    monkeypatch.setattr(
+        "ambigram_tpu.solver.search.solve_device", recording_solve_device
+    )
+    paths = []
+    for seed in (0, 1, 2):
+        case = simulate_bfb_case(seed=seed, n_segments=10)
+        paths.append(write_case(case, "r%d" % seed)["lh"])
+    results = pl.run_bfb_many(paths, solver="device", mesh=mesh)
+    assert len(results) == 3 and all(r.path_strings for r in results)
+    assert used, "single-slot mesh must route per-case through solve_device"
+    assert set(used) <= allowed, "case placed on a device outside the mesh"

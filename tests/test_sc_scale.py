@@ -90,3 +90,15 @@ def test_sc_device_regime_end_to_end(tmp_path, monkeypatch):
     for k, case in enumerate(sc.cases):
         assert res.path_strings[k], "clone %d produced no path" % k
         assert multiplicity_diff(case.truth_string, res.path_strings[k][0]) == 0
+
+
+def test_parse_evolution_edges_ambiguity_rejected():
+    """An edge string that resolves to DIFFERENT (parent, child) pairs
+    at different colon split points is an input error, not a silent
+    choice (self-review r3)."""
+    names = ["a.lh", "b.lh:c.lh", "a.lh:b.lh", "c.lh"]
+    with pytest.raises(ValueError, match="ambiguous"):
+        parse_evolution_edges("a.lh:b.lh:c.lh", names)
+    # multiple split points that agree on ONE edge are fine
+    cnames = ["/run:3/c1.lh", "/run:3/c2.lh"]
+    assert parse_evolution_edges("/run:3/c1.lh:/run:3/c2.lh", cnames) == [[1], []]

@@ -271,3 +271,30 @@ def test_bench_docs_extract_and_render():
     assert "pallas-fused-int8" in readme and "| auto | 9.0 | 5.00 | 4/4 |" in readme
     arch = render_architecture_block(m)
     assert "auto 9.0 s / device 10.0 s" in arch
+
+
+def test_bench_docs_degenerate_artifacts():
+    """Robustness: a driver artifact with a null tail must not crash
+    (the parsed metric is still extracted), and a suite dict with a
+    missing leg must not render a ratio against a bogus divisor."""
+    import json
+
+    from ambigram_tpu.scripts.bench_docs import (
+        extract_metrics,
+        render_architecture_block,
+    )
+
+    prim = {"metric": "bfb_candidates_scored_per_sec_per_chip", "value": 1.0}
+    m = extract_metrics(json.dumps({"rc": 0, "tail": None, "parsed": prim}))
+    assert prim["metric"] in m
+
+    # device leg absent: the block must render without any speed claims
+    partial = {
+        "suite_seconds_large_cases": {
+            "metric": "suite_seconds_large_cases",
+            "auto": {"seconds": 9.0, "eps_sum": 5.0},
+            "exact": {"seconds": 30.0, "eps_sum": 5.0},
+        }
+    }
+    arch = render_architecture_block(partial)
+    assert "x the speed" not in arch
