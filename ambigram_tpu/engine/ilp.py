@@ -496,14 +496,16 @@ def build_bfb_program(
         # astype would silently truncate a fractional coefficient before
         # the int8 range check could see it — the loop builder's anchor
         # at line ~261 checks against f64 and this path must be as safe).
-        assert np.array_equal(
-            vals_c, np.round(vals_c)
-        ), "fractional hard-row coefficient"
+        # not an assert: this guard protects the int8 narrowing below
+        # and must survive `python -O`
+        if not np.array_equal(vals_c, np.round(vals_c)):
+            raise ValueError("fractional hard-row coefficient")
         G16 = coo_matrix(
             (vals_c.astype(np.int16), (rows_c, cols_c)), shape=(M, V)
         ).toarray()
         G = G16.astype(np.int8)
-        assert np.array_equal(G, G16), "hard-row coefficient outside int8"
+        if not np.array_equal(G, G16):
+            raise ValueError("hard-row coefficient outside int8")
         g_lb = np.concatenate(lb_parts)
         g_ub = np.concatenate(ub_parts)
     else:

@@ -86,7 +86,12 @@ def _per_case_lns_budget(n_cases: int, workers: int) -> float:
     return max(1.0, total / math.ceil(max(1, n_cases) / max(1, workers)))
 
 
-def _solve(prog: BfbProgram, solver: str, lns_budget: Optional[float] = None):
+def _solve(
+    prog: BfbProgram,
+    solver: str,
+    lns_budget: Optional[float] = None,
+    device=None,
+):
     from ambigram_tpu.utils.profiling import GLOBAL
 
     if solver == "exact":
@@ -97,7 +102,7 @@ def _solve(prog: BfbProgram, solver: str, lns_budget: Optional[float] = None):
     if solver == "device":
         from ambigram_tpu.solver.search import solve_device
 
-        return solve_device(prog, lns_budget=lns_budget)
+        return solve_device(prog, lns_budget=lns_budget, device=device)
     if solver == "native":
         from ambigram_tpu.solver.native_bnb import solve_native
 
@@ -134,7 +139,7 @@ def _solve(prog: BfbProgram, solver: str, lns_budget: Optional[float] = None):
         candidates.append(eres)
     from ambigram_tpu.solver.search import solve_device
 
-    res = solve_device(prog, lns_budget=lns_budget)
+    res = solve_device(prog, lns_budget=lns_budget, device=device)
     if res.status == "optimal":
         return res
     candidates.append(res)
@@ -566,8 +571,18 @@ def run_bfb_many(
 
             # per-case searches stay on the caller's mesh: a caller that
             # restricted the batch to a device subset (shared hosts)
-            # must not have cases round-robined onto chips outside it
-            devices = list(mesh.devices.flatten())
+            # must not have cases round-robined onto chips outside it.
+            # Multi-host meshes list every process's devices; device_put
+            # only works on THIS process's, so keep the addressable ones
+            # (each host of a jax.distributed run solves its host_shard
+            # of the case list — parallel/distributed.py)
+            import jax
+
+            devices = [
+                d
+                for d in mesh.devices.flatten()
+                if d.process_index == jax.process_index()
+            ] or jax.local_devices()
             workers = min(4, len(big))
             per_case_lns = _per_case_lns_budget(len(big), workers)
 
@@ -582,12 +597,13 @@ def run_bfb_many(
 
             def _solve_big(item):
                 k, (key, prog) = item
+                dev = devices[k % len(devices)]
                 if solver == "auto":
-                    return key, _solve(prog, "auto", lns_budget=per_case_lns)
+                    return key, _solve(
+                        prog, "auto", lns_budget=per_case_lns, device=dev
+                    )
                 return key, solve_device(
-                    prog,
-                    device=devices[k % len(devices)],
-                    lns_budget=per_case_lns,
+                    prog, device=dev, lns_budget=per_case_lns
                 )
 
             with ThreadPoolExecutor(max_workers=workers) as pool:
