@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Skip appending simulation_sv.txt / time.csv",
     )
     p.add_argument(
+        "--emit_lp",
+        action="store_true",
+        help="Write <lp_prefix>.lp and <lp_prefix>.mps for each solved "
+        "fitting program (the reference's debug/interchange artifact, "
+        "LGM.cpp:4749-4750; opt-in here since no external solver runs)",
+    )
+    p.add_argument(
         "--profile",
         action="store_true",
         help="Print the phase-timer/counter report after the run",
@@ -129,6 +136,7 @@ def _dispatch(args) -> int:
             out=sys.stdout,
             ledger_dir=None if args.no_ledgers else ".",
             lp_prefix=args.lp_prefix,
+            emit_lp=args.emit_lp,
         )
         return 0
     elif args.op == "check":
@@ -213,6 +221,7 @@ def _dispatch(args) -> int:
             ledger_dir=None if args.no_ledgers else ".",
             lp_prefix=args.lp_prefix,
             edges=args.edges,
+            emit_lp=args.emit_lp,
         )
         return 0
 

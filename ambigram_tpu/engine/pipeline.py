@@ -193,6 +193,7 @@ def run_bfb(
     ledger_dir: Optional[str] = None,
     lp_prefix: str = "sample",
     presolved: Optional[List] = None,
+    emit_lp: bool = False,
 ) -> BfbResult:
     from ambigram_tpu.utils.profiling import GLOBAL
 
@@ -275,6 +276,15 @@ def run_bfb(
                 components=valid_components,
                 juncs_info=juncs_info,
             )
+        if emit_lp:
+            # the reference writes <lp_prefix>.mps / .lp for every solve
+            # (LGM.cpp:4749-4750, overwritten per chromosome); here the
+            # artifact is opt-in (like the ledgers) since no external
+            # solver is invoked — it exists for differential checking
+            from ambigram_tpu.io.program_io import write_lp, write_mps
+
+            write_lp(prog, lp_prefix + ".lp")
+            write_mps(prog, lp_prefix + ".mps")
         if presolved is not None and n < len(presolved) and presolved[n] is not None:
             sol = presolved[n]
         else:

@@ -172,6 +172,7 @@ def run_sc_bfb(
     ledger_dir: Optional[str] = None,
     lp_prefix: str = "sample",
     edges: str = "",
+    emit_lp: bool = False,
 ) -> ScBfbResult:
     begin = time.perf_counter()
     if out is None:
@@ -233,6 +234,12 @@ def run_sc_bfb(
                 )
             )
         sc_prog = build_sc_program(progs, evolution)
+        if emit_lp:
+            # mirror of BFB_ILP_SC's artifact (LGM.cpp:5091-5092)
+            from ambigram_tpu.io.program_io import write_lp, write_mps
+
+            write_lp(sc_prog, lp_prefix + ".lp")
+            write_mps(sc_prog, lp_prefix + ".mps")
         from ambigram_tpu.engine.pipeline import _solve
 
         sol = _solve(sc_prog, solver)

@@ -217,6 +217,166 @@ def _sweep_moves(
     return X_out, hx_out, s_out, jnp.any(improved)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _sweep_moves3(
+    st: ScoringTensors,
+    X: jnp.ndarray,
+    hx: jnp.ndarray,
+    scores: jnp.ndarray,
+    mv_a: jnp.ndarray,
+    mv_b: jnp.ndarray,
+    mv_c: jnp.ndarray,
+    mv_s: jnp.ndarray,
+    mv_valid: jnp.ndarray,
+    chunk: int = 128,
+):
+    """Triple-move sweep: move m applies x[a] -= s, x[b] += s,
+    x[c] += s with s in {+1, -1} — the split (s=+1: one loop/pattern
+    becomes its two halves) and merge (s=-1) coordinated moves that
+    target the search's known plateau structure (retiming a fold
+    boundary is THREE coupled +-1 moves, invisible to the single and
+    paired neighborhoods). Scored incrementally via the column delta
+    s * (H[:, b] + H[:, c] - H[:, a]); same apply-best-if-improves
+    semantics as `_sweep_delta`. `mv_valid` masks padding entries."""
+    B, Vp = X.shape
+    M = mv_a.shape[0]
+    n_chunks = M // chunk
+    move_ids = jnp.arange(M).reshape(n_chunks, chunk)
+
+    def chunk_step(carry, move_block):
+        best_score, best_move = carry
+        a = mv_a[move_block]
+        b = mv_b[move_block]
+        c = mv_c[move_block]
+        s_sign = mv_s[move_block]  # [chunk]
+        Dc = (st.H[:, b] + st.H[:, c] - st.H[:, a]) * s_sign[None, :]
+        v = hx[:, :, None] + Dc[None, :, :]
+        s = jnp.sum(
+            jnp.maximum(v - st.ub[None, :, None], 0.0)
+            + jnp.maximum(st.lb[None, :, None] - v, 0.0),
+            axis=1,
+        )  # [B, chunk]
+        pos = s_sign > 0
+        # split validity: x[a] >= 1 and both halves below their bounds
+        # (b may equal c — an overlap split never does, but guard by
+        # requiring headroom 2 when they coincide)
+        need_bc = jnp.where(b == c, 2.0, 1.0)
+        ok_split = (
+            (X[:, a] >= 1.0)
+            & (X[:, b] + need_bc <= st.x_ub[b][None, :])
+            & (X[:, c] + 1.0 <= st.x_ub[c][None, :])
+        )
+        ok_merge = (
+            (X[:, b] >= need_bc)
+            & (X[:, c] >= 1.0)
+            & (X[:, a] + 1.0 <= st.x_ub[a][None, :])
+        )
+        valid = jnp.where(pos[None, :], ok_split, ok_merge) & mv_valid[move_block][None, :]
+        s = jnp.where(valid, s, scores[:, None])
+        idx = jnp.argmin(s, axis=1)
+        val = jnp.take_along_axis(s, idx[:, None], axis=1)[:, 0]
+        move = move_block[idx]
+        better = val < best_score
+        return (
+            jnp.where(better, val, best_score),
+            jnp.where(better, move, best_move),
+        ), None
+
+    init = (scores, jnp.zeros(B, dtype=jnp.int32))
+    (best_score, best_move), _ = jax.lax.scan(chunk_step, init, move_ids)
+    improved = best_score < scores - 1e-6
+    ba = mv_a[best_move]
+    bb = mv_b[best_move]
+    bc = mv_c[best_move]
+    bs = mv_s[best_move]
+    delta = (
+        jax.nn.one_hot(bb, Vp, dtype=X.dtype)
+        + jax.nn.one_hot(bc, Vp, dtype=X.dtype)
+        - jax.nn.one_hot(ba, Vp, dtype=X.dtype)
+    ) * bs[:, None]
+    X_out = jnp.where(improved[:, None], X + delta, X)
+    col = (
+        jnp.take(st.H, bb, axis=1)
+        + jnp.take(st.H, bc, axis=1)
+        - jnp.take(st.H, ba, axis=1)
+    ).T * bs[:, None]
+    hx_out = jnp.where(improved[:, None], hx + col, hx)
+    s_out = jnp.where(improved, best_score, scores)
+    return X_out, hx_out, s_out, jnp.any(improved)
+
+
+def split_merge_moves(
+    prog: BfbProgram, pad_to: int = 512, max_moves: int = 262144
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The triple-move catalogue for `_sweep_moves3`, three families per
+    (i, j, k):
+
+    - contiguous loop split/merge   l(i,j) <-> l(i,k) + l(k+1,j)
+    - overlapping loop split/merge  l(i,j) <-> l(i,k) + l(k,j)
+      (double-covers segment k — the +-1-CN repair move under noise)
+    - pattern split/merge           p(i,j) <-> p(i,k) + p(k+1,j)
+
+    Each family preserves segment coverage (the overlap one up to +1 on
+    one segment) while re-timing the fold boundary, which moves the FBI
+    rows — precisely the coordinated change the plateau needs. O(n^3)
+    triples; above `max_moves` the split point k is strided so the set
+    stays bounded (coverage note: stride > 1 drops some exact split
+    points — the +-1 sweeps recover them from a near miss). For
+    single-cell block programs the set replicates per clone block.
+    Returns (a, b, c, sign, valid) padded to a multiple of `pad_to`."""
+    from ambigram_tpu.engine.enumerate import pair_index
+
+    T = len(prog.pairs)
+    n = prog.n
+    start = prog.start
+
+    def pidx(a: int, b: int) -> int:
+        return pair_index(prog.start, prog.end, a, b)
+
+    # triple count before striding: ~3 * n^3 / 6 per sign
+    est = n * n * n // 2
+    stride = max(1, int(np.ceil(est / max(max_moves // 2, 1))))
+    triples = []  # (a, b, c) variable-index triples, sign applied later
+    for t, (i, j) in enumerate(prog.pairs):
+        if j <= i:
+            continue
+        for k in range(int(i), int(j), stride):
+            # contiguous: l(i,j) <-> l(i,k) + l(k+1,j)
+            triples.append(
+                (T + t, T + pidx(int(i), k), T + pidx(k + 1, int(j)))
+            )
+            # pattern: p(i,j) <-> p(i,k) + p(k+1,j)
+            triples.append((t, pidx(int(i), k), pidx(k + 1, int(j))))
+            if k > int(i):
+                # overlapping: l(i,j) <-> l(i,k) + l(k,j)
+                triples.append(
+                    (T + t, T + pidx(int(i), k), T + pidx(k, int(j)))
+                )
+    base = (
+        np.asarray(triples, dtype=np.int32)
+        if triples
+        else np.zeros((0, 3), np.int32)
+    )
+    K = prog.num_vars // (2 * T) if T else 1
+    if K > 1 and len(base):
+        base = np.concatenate([base + k * 2 * T for k in range(K)], axis=0)
+    # both signs per triple
+    n_t = len(base)
+    M = ((2 * n_t + pad_to - 1) // pad_to) * pad_to if n_t else pad_to
+    a = np.zeros(M, dtype=np.int32)
+    b = np.zeros(M, dtype=np.int32)
+    c = np.zeros(M, dtype=np.int32)
+    s = np.ones(M, dtype=np.float32)
+    valid = np.zeros(M, dtype=bool)
+    if n_t:
+        a[: 2 * n_t] = np.concatenate([base[:, 0], base[:, 0]])
+        b[: 2 * n_t] = np.concatenate([base[:, 1], base[:, 1]])
+        c[: 2 * n_t] = np.concatenate([base[:, 2], base[:, 2]])
+        s[n_t : 2 * n_t] = -1.0
+        valid[: 2 * n_t] = True
+    return a, b, c, s, valid
+
+
 def slide_transfer_moves(prog: BfbProgram, pad_to: int = 512) -> Tuple[np.ndarray, np.ndarray]:
     """The paired-move set for `_sweep_moves`: endpoint slides for every
     pattern and loop, plus loop<->pattern transfers at the same (i,j).
@@ -248,19 +408,28 @@ def slide_transfer_moves(prog: BfbProgram, pad_to: int = 512) -> Tuple[np.ndarra
 
 
 def _descend_loop(
-    st: ScoringTensors, X, hx, scores, max_sweeps: int, chunk: int, moves=None
+    st: ScoringTensors,
+    X,
+    hx,
+    scores,
+    max_sweeps: int,
+    chunk: int,
+    moves=None,
+    moves3=None,
 ):
-    """Alternate single-variable and paired-move sweeps until neither
-    improves (or max_sweeps). Returns (X, hx, scores, n_delta_sweeps,
-    n_move_sweeps) — the sweep counts drive the pipeline's real
-    candidates-scored/s counter."""
+    """Tiered descent: single-variable sweeps while they improve; when
+    they stall, one paired-move sweep; when BOTH stall, one triple-move
+    sweep (splits/merges). Any lower tier's success resumes tier 1, so
+    the expensive tiers only run at basin floors. Returns (X, hx,
+    scores, n_delta_sweeps, n_move_sweeps, n_move3_sweeps) — the sweep
+    counts drive the pipeline's real candidates-scored/s counter."""
 
     def cond(state):
-        _, _, _, improved, it, _ = state
+        _, _, _, improved, it, _, _ = state
         return jnp.logical_and(improved, it < max_sweeps)
 
     def body(state):
-        X, hx, scores, _, it, n_mv = state
+        X, hx, scores, _, it, n_mv, n_m3 = state
         X, hx, scores, imp1 = _sweep_delta(st, X, hx, scores, chunk=chunk)
         if moves is not None:
             # paired moves only when +-1 descent stalls: they matter at
@@ -279,12 +448,40 @@ def _descend_loop(
             )
             n_mv = n_mv + jnp.where(imp1, 0, 1)
             imp1 = jnp.logical_or(imp1, imp2)
-        return X, hx, scores, imp1, it + 1, n_mv
+        if moves3 is not None:
+            # triple moves (split/merge) are the costliest sweep — run
+            # only when tiers 1-2 both stalled
+            def with_m3(args):
+                X, hx, scores = args
+                return _sweep_moves3(
+                    st, X, hx, scores, *moves3, chunk=chunk
+                )
 
-    X, hx, scores, _, it, n_mv = jax.lax.while_loop(
-        cond, body, (X, hx, scores, jnp.bool_(True), jnp.int32(0), jnp.int32(0))
+            def without3(args):
+                X, hx, scores = args
+                return X, hx, scores, jnp.bool_(False)
+
+            X, hx, scores, imp3 = jax.lax.cond(
+                imp1, without3, with_m3, (X, hx, scores)
+            )
+            n_m3 = n_m3 + jnp.where(imp1, 0, 1)
+            imp1 = jnp.logical_or(imp1, imp3)
+        return X, hx, scores, imp1, it + 1, n_mv, n_m3
+
+    X, hx, scores, _, it, n_mv, n_m3 = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            X,
+            hx,
+            scores,
+            jnp.bool_(True),
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+        ),
     )
-    return X, hx, scores, it, n_mv
+    return X, hx, scores, it, n_mv, n_m3
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -293,6 +490,7 @@ def _search(
     X: jnp.ndarray,
     key: jnp.ndarray,
     moves: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    moves3=None,
     rounds: int = 6,
     max_sweeps: int = 256,
     chunk: int = 128,
@@ -306,10 +504,10 @@ def _search(
 
     def round_body(i, state):
         X, hx, scores, best_x, best_s, key, sweeps = state
-        X, hx, scores, n_d, n_m = _descend_loop(
-            st, X, hx, scores, max_sweeps, chunk, moves
+        X, hx, scores, n_d, n_m, n_3 = _descend_loop(
+            st, X, hx, scores, max_sweeps, chunk, moves, moves3
         )
-        sweeps = (sweeps[0] + n_d, sweeps[1] + n_m)
+        sweeps = (sweeps[0] + n_d, sweeps[1] + n_m, sweeps[2] + n_3)
         # fold the round's best into the global best
         idx = jnp.argmin(scores)
         round_best = scores[idx]
@@ -340,7 +538,7 @@ def _search(
 
     best_x = X[0]
     best_s = scores[0]
-    sweeps0 = (jnp.int32(0), jnp.int32(0))
+    sweeps0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
     # basin-hop until the round budget runs out OR the incumbent meets
     # `target` — the caller passes the half-integer-rounded LP bound
@@ -368,12 +566,12 @@ def _search(
     # final descent from the best point (skipped arithmetic-free when
     # already at zero: the loop exits on the first sweep)
     hxf = jnp.matmul(best_x[None, :], st.H.T, preferred_element_type=jnp.float32)
-    Xf, _, sf, n_d, n_m = _descend_loop(
-        st, best_x[None, :], hxf, best_s[None], max_sweeps, chunk, moves
+    Xf, _, sf, n_d, n_m, n_3 = _descend_loop(
+        st, best_x[None, :], hxf, best_s[None], max_sweeps, chunk, moves, moves3
     )
-    # sweep counts: (delta sweeps at pop B, move sweeps at pop B,
-    # delta sweeps at pop 1, move sweeps at pop 1)
-    return Xf[0], sf[0], (sweeps[0], sweeps[1], n_d, n_m)
+    # sweep counts: (delta, paired, triple sweeps at pop B; then the
+    # same three at pop 1 for the final descent)
+    return Xf[0], sf[0], (sweeps[0], sweeps[1], sweeps[2], n_d, n_m, n_3)
 
 
 def _seed_population(prog: BfbProgram, st: ScoringTensors, pop: int, seed: int) -> jnp.ndarray:
@@ -639,13 +837,16 @@ def solve_device(
             place(slot, np.floor(x_frac) + (rr.random(len(x_frac)) < frac))
     key = jax.random.PRNGKey(seed)
     mv_minus, mv_plus = slide_transfer_moves(prog)
+    m3 = split_merge_moves(prog)
     if device is not None:
         moves = (jax.device_put(jnp.asarray(mv_minus), device),
                  jax.device_put(jnp.asarray(mv_plus), device))
+        moves3 = tuple(jax.device_put(jnp.asarray(a), device) for a in m3)
         X0j = jax.device_put(jnp.asarray(X0), device)
         key = jax.device_put(key, device)
     else:
         moves = (jnp.asarray(mv_minus), jnp.asarray(mv_plus))
+        moves3 = tuple(jnp.asarray(a) for a in m3)
         X0j = jnp.asarray(X0)
     target = certified_bound(prog, lb) if (certify and lb is not None) else 0.0
     with GLOBAL.phase("score"):
@@ -654,19 +855,22 @@ def solve_device(
             X0j,
             key,
             moves,
+            moves3,
             rounds=rounds,
             max_sweeps=max_sweeps,
             target=max(float(target), 0.0),
         )
         x = np.asarray(best_x)[: prog.num_vars]  # blocks until done
     # real candidates-scored accounting: a delta sweep evaluates 2*Vp
-    # moves per member, a paired-move sweep M moves per member
+    # moves per member, a paired-move sweep M moves, a triple sweep M3
     Vp = st.H.shape[1]
     M = mv_minus.shape[0]
-    n_d, n_m, n_d1, n_m1 = (int(v) for v in sweeps)
+    M3 = m3[0].shape[0]
+    n_d, n_m, n_3, n_d1, n_m1, n_31 = (int(v) for v in sweeps)
+    per_member = lambda d, m, t: d * 2.0 * Vp + m * M + t * M3
     GLOBAL.count(
         "candidates_scored",
-        float(pop) * (n_d * 2.0 * Vp + n_m * M) + (n_d1 * 2.0 * Vp + n_m1 * M),
+        float(pop) * per_member(n_d, n_m, n_3) + per_member(n_d1, n_m1, n_31),
     )
     GLOBAL.count("solve.device_calls")
     x_int = np.round(x).astype(np.int64)
