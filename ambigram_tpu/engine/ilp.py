@@ -50,6 +50,14 @@ class BfbProgram:
     g_ub: np.ndarray  # [m]
     x_ub: np.ndarray  # [2T] variable upper bounds (p: 1, l: max_cn)
     bias: int
+    # structured coupling residuals |x[a] - x[b]| with target 0 (the
+    # single-cell evolution-edge terms, LGM.cpp:5033-5071). Stored as
+    # [P, 2] int32 index pairs, NOT dense rows: each row has exactly two
+    # nonzeros, and the all-pairs default at K clones is |edges| * 2T
+    # rows — dense f64 would be gigabytes at K=4 / S=64 while the pairs
+    # are kilobytes. Consumers materialize (`coupling_rows_dense`) only
+    # where a dense row system is genuinely needed.
+    coupling: Optional[np.ndarray] = None
 
     @property
     def n(self) -> int:
@@ -62,12 +70,45 @@ class BfbProgram:
         # num_graphs * 2 * len(pairs) columns (engine/sc.py)
         return self.A_seg.shape[1]
 
+    @property
+    def num_coupling(self) -> int:
+        return 0 if self.coupling is None else len(self.coupling)
+
+    def coupling_rows_dense(self, dtype=np.float64) -> np.ndarray:
+        """Materialize the coupling pairs as dense residual rows
+        (+1 on a, -1 on b, target 0)."""
+        P = self.num_coupling
+        out = np.zeros((P, self.num_vars), dtype=dtype)
+        if P:
+            r = np.arange(P)
+            out[r, self.coupling[:, 0]] = 1
+            out[r, self.coupling[:, 1]] = -1
+        return out
+
+    def residual_system(self, dtype=np.float64):
+        """(A_res, c_res) as one dense system in row order
+        [seg | fbi | coupling] — for host solvers that need explicit
+        rows (exact MILP, native B&B, LNS windows, LP/MPS writers)."""
+        parts = [
+            self.A_seg.astype(dtype, copy=False),
+            self.A_fbi.astype(dtype, copy=False),
+        ]
+        c_parts = [self.c_seg, self.c_fbi]
+        if self.num_coupling:
+            parts.append(self.coupling_rows_dense(dtype))
+            c_parts.append(np.zeros(self.num_coupling))
+        return np.concatenate(parts, axis=0), np.concatenate(c_parts)
+
     def residual_objective(self, x: np.ndarray) -> np.ndarray:
         """Sum of absolute residuals (the epsilon sum), before -bias.
         Accepts [..., 2T] batches."""
         seg_res = np.abs(x @ self.A_seg.T - self.c_seg)
         fbi_res = np.abs(x @ self.A_fbi.T - self.c_fbi)
-        return seg_res.sum(axis=-1) + fbi_res.sum(axis=-1)
+        total = seg_res.sum(axis=-1) + fbi_res.sum(axis=-1)
+        if self.num_coupling:
+            diff = x[..., self.coupling[:, 0]] - x[..., self.coupling[:, 1]]
+            total = total + np.abs(diff).sum(axis=-1)
+        return total
 
     def hard_violation(self, x: np.ndarray) -> np.ndarray:
         """Total constraint violation; 0 means feasible."""

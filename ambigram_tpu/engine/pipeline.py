@@ -528,6 +528,47 @@ def run_bfb_many(
                 flat.append(prog)
                 index.append((i, n))
 
+    solutions = solve_programs_batch(flat, index, solver=solver, mesh=mesh)
+
+    results: List[Optional[BfbResult]] = [None] * len(lh_paths)
+    for i, path in enumerate(lh_paths):
+        if i in cached:
+            results[i] = cached[i]
+            continue
+        n_chroms = len(per_case_progs[i])
+        presolved = [solutions.get((i, n)) for n in range(n_chroms)]
+        res = run_bfb(
+            path,
+            juncs_path=juncs_paths[i],
+            juncs_info=juncs_info,
+            is_reversed=is_reversed,
+            solver="exact",
+            out=out,
+            presolved=presolved,
+        )
+        results[i] = res
+        if result_store:
+            _result_to_store(
+                os.path.join(result_store, store_keys[i] + ".json"), res
+            )
+    return results
+
+
+def solve_programs_batch(
+    flat: List[BfbProgram],
+    index: List[tuple],
+    solver: str = "auto",
+    mesh=None,
+) -> Dict[tuple, object]:
+    """Solve a flat list of fitting programs with the batch policy:
+    exact prepass for small programs, per-case device searches for
+    large ones (round-robin over local devices, threaded), one stacked
+    device-sharded pass for the mid-size rest, then threaded host
+    polish/certify/fallback. Returns {index_key: SolveResult}.
+
+    Shared by `run_bfb_many` (bulk cases) and `run_sc_bfb_many`
+    (single-cell samples, engine/sc.py) — the single-cell block
+    programs are just large programs to this layer."""
     solutions: Dict[tuple, object] = {}
     if flat and solver == "auto":
         # settle small programs exactly on host first (sub-second each;
@@ -723,31 +764,9 @@ def run_bfb_many(
     elif flat:
         from ambigram_tpu.solver.exact import solve_exact
 
-        for (i, n), prog in zip(index, flat):
-            solutions[(i, n)] = solve_exact(prog)
-
-    results: List[Optional[BfbResult]] = [None] * len(lh_paths)
-    for i, path in enumerate(lh_paths):
-        if i in cached:
-            results[i] = cached[i]
-            continue
-        n_chroms = len(per_case_progs[i])
-        presolved = [solutions.get((i, n)) for n in range(n_chroms)]
-        res = run_bfb(
-            path,
-            juncs_path=juncs_paths[i],
-            juncs_info=juncs_info,
-            is_reversed=is_reversed,
-            solver="exact",
-            out=out,
-            presolved=presolved,
-        )
-        results[i] = res
-        if result_store:
-            _result_to_store(
-                os.path.join(result_store, store_keys[i] + ".json"), res
-            )
-    return results
+        for key, prog in zip(index, flat):
+            solutions[key] = solve_exact(prog)
+    return solutions
 
 
 def _case_store_key(lh_path: str) -> str:

@@ -36,36 +36,49 @@ def build_sc_program(
     evolution: List[List[int]],
 ) -> BfbProgram:
     """Combine per-graph programs into one block program with coupling
-    residual rows along evolution edges."""
+    terms |x_t^a - x_t^b| along evolution edges (LGM.cpp:5033-5071).
+
+    Memory discipline (the block program is where variables multiply by
+    K, so every dtype choice here scales by K^2 in the dense blocks):
+    - G stays int8 block-diagonal — the per-clone G is already int8
+      (engine/ilp.py) and a float lift would be gigabytes at K=4/S=64;
+    - coupling terms are stored as [P, 2] index PAIRS on the program
+      (BfbProgram.coupling), not dense rows: each is a 2-nonzero row,
+      and |edges| * 2T dense f64 rows would dwarf everything else.
+      The scoring path materializes them as int8 rows on the padded
+      tensors; host solvers via `residual_system` only when invoked.
+    """
     K = len(progs)
     p0 = progs[0]
     T2 = p0.num_vars  # 2T, identical across graphs (same interval)
     V = T2 * K
 
-    def lift(mat: np.ndarray, k: int) -> np.ndarray:
-        out = np.zeros((mat.shape[0], V))
-        out[:, k * T2 : (k + 1) * T2] = mat
+    def block_diag(mats: List[np.ndarray], dtype) -> np.ndarray:
+        rows = sum(m.shape[0] for m in mats)
+        out = np.zeros((rows, V), dtype=dtype)
+        r = 0
+        for k, m in enumerate(mats):
+            out[r : r + m.shape[0], k * T2 : (k + 1) * T2] = m
+            r += m.shape[0]
         return out
 
-    A_seg = np.concatenate([lift(p.A_seg, k) for k, p in enumerate(progs)], axis=0)
+    A_seg = block_diag([p.A_seg for p in progs], np.float64)
     c_seg = np.concatenate([p.c_seg for p in progs])
-    A_fbi_blocks = [lift(p.A_fbi, k) for k, p in enumerate(progs)]
-    c_fbi_blocks = [p.c_fbi for p in progs]
-    # coupling rows: x^a - x^b target 0 (LGM.cpp:5033-5071)
-    coup_rows = []
+    A_fbi = block_diag([p.A_fbi for p in progs], np.float64)
+    c_fbi = np.concatenate([p.c_fbi for p in progs])
+    # coupling pairs, vectorized: every evolution edge (a, b) couples
+    # all T2 variables of clone a to clone b's
+    pair_blocks = []
+    t_idx = np.arange(T2, dtype=np.int32)
     for a in range(len(evolution)):
         for b in evolution[a]:
-            for t in range(T2):
-                row = np.zeros(V)
-                row[a * T2 + t] = 1.0
-                row[b * T2 + t] = -1.0
-                coup_rows.append(row)
-    if coup_rows:
-        A_fbi_blocks.append(np.array(coup_rows))
-        c_fbi_blocks.append(np.zeros(len(coup_rows)))
-    A_fbi = np.concatenate(A_fbi_blocks, axis=0)
-    c_fbi = np.concatenate(c_fbi_blocks)
-    G = np.concatenate([lift(p.G, k) for k, p in enumerate(progs)], axis=0)
+            pair_blocks.append(
+                np.stack([a * T2 + t_idx, b * T2 + t_idx], axis=1)
+            )
+    coupling = (
+        np.concatenate(pair_blocks, axis=0) if pair_blocks else None
+    )
+    G = block_diag([p.G for p in progs], np.int8)
     g_lb = np.concatenate([p.g_lb for p in progs])
     g_ub = np.concatenate([p.g_ub for p in progs])
     x_ub = np.concatenate([p.x_ub for p in progs])
@@ -82,6 +95,7 @@ def build_sc_program(
         g_ub=g_ub,
         x_ub=x_ub,
         bias=0,
+        coupling=coupling,
     )
 
 
@@ -161,6 +175,171 @@ class ScBfbResult:
     seconds: float = 0.0
 
 
+def extract_sc_programs(
+    lh_paths: str, edges: str = ""
+) -> List[Optional[BfbProgram]]:
+    """Per-chromosome single-cell block programs for one sample (None
+    where the chromosome is trivial). Mirrors run_sc_bfb's preamble —
+    the batch pipeline (`run_sc_bfb_many`) solves these through
+    pipeline.solve_programs_batch and replays with `presolved`."""
+    names = [s for s in lh_paths.split(",") if s]
+    genomes: List[Genome] = []
+    for name in names:
+        g = Genome.from_lh(name)
+        g.calculate_hap_depth()
+        g.calculate_copy_num()
+        genomes.append(g)
+    evolution = parse_evolution_edges(edges, names)
+    g0 = genomes[0]
+    out: List[Optional[BfbProgram]] = []
+    for n in range(len(g0.sources)):
+        start_id = g0.sources[n].id
+        end_id = g0.sinks[n].id
+        _, junc_cn0 = get_junc_cn(g0, start_id, end_id)
+        if abs(float(junc_cn0[: end_id + 1, 1].sum())) < 1e-6:
+            out.append(None)
+            continue
+        progs = []
+        for g in genomes:
+            _, junc_cn = get_junc_cn(g, start_id, end_id)
+            seg_cn = np.array(
+                [
+                    g.segment_by_id(i).weight.copy_num
+                    for i in range(start_id, end_id + 1)
+                ]
+            )
+            max_cn = sum(
+                g.segment_by_id(i).weight.copy_num
+                for i in range(start_id, end_id + 1)
+            )
+            progs.append(
+                build_bfb_program(
+                    start_id,
+                    end_id,
+                    seg_cn,
+                    junc_cn[start_id : end_id + 1, 1],
+                    max_cn,
+                    0,
+                )
+            )
+        out.append(build_sc_program(progs, evolution))
+    return out
+
+
+def run_sc_bfb_many(
+    samples: List[dict],
+    juncs_info: bool = False,
+    is_reversed: bool = False,
+    solver: str = "auto",
+    mesh=None,
+    out=None,
+    result_store: Optional[str] = None,
+) -> List[ScBfbResult]:
+    """Batch single-cell pipeline: every sample's block programs are
+    solved through the shared batch solver (device-sharded / threaded
+    per-case searches — pipeline.solve_programs_batch), then each
+    sample's host-side replay completes independently.
+
+    `samples`: [{"lh_paths": "a.lh,b.lh", "edges": "..."}, ...].
+    This is the TPU-shaped replacement for looping the reference's
+    sc_bfb op over samples (localhap.cpp:390-679 is one process per
+    sample); the block programs are the LARGEST programs the engine
+    builds (variables multiply by K), so batching them across devices
+    is where case parallelism pays most.
+
+    `result_store` mirrors run_bfb_many's per-sample checkpoint/resume:
+    the key hashes every clone file plus the edges string."""
+    import os
+
+    from ambigram_tpu.engine.pipeline import solve_programs_batch
+
+    if out is None:
+        out = _io.StringIO()
+    cached: dict = {}
+    store_keys: dict = {}
+    if result_store:
+        os.makedirs(result_store, exist_ok=True)
+        for i, s in enumerate(samples):
+            store_keys[i] = _sc_store_key(s)
+            fn = os.path.join(result_store, store_keys[i] + ".json")
+            if os.path.exists(fn):
+                cached[i] = _sc_result_from_store(fn)
+
+    active = [i for i in range(len(samples)) if i not in cached]
+    per_sample_progs = {
+        i: extract_sc_programs(
+            samples[i]["lh_paths"], samples[i].get("edges", "")
+        )
+        for i in active
+    }
+    flat: List[BfbProgram] = []
+    index: List[tuple] = []
+    for i in active:
+        for n, prog in enumerate(per_sample_progs[i]):
+            if prog is not None:
+                flat.append(prog)
+                index.append((i, n))
+    solutions = solve_programs_batch(flat, index, solver=solver, mesh=mesh)
+
+    results: List[Optional[ScBfbResult]] = [None] * len(samples)
+    for i, s in enumerate(samples):
+        if i in cached:
+            results[i] = cached[i]
+            continue
+        presolved = [
+            solutions.get((i, n)) for n in range(len(per_sample_progs[i]))
+        ]
+        res = run_sc_bfb(
+            s["lh_paths"],
+            juncs_info=juncs_info,
+            is_reversed=is_reversed,
+            solver="exact",
+            out=out,
+            edges=s.get("edges", ""),
+            presolved=presolved,
+        )
+        results[i] = res
+        if result_store:
+            _sc_result_to_store(
+                os.path.join(result_store, store_keys[i] + ".json"), res
+            )
+    return results
+
+
+def _sc_store_key(sample: dict) -> str:
+    import hashlib
+    import os
+
+    h = hashlib.sha1()
+    for name in sample["lh_paths"].split(","):
+        if name:
+            h.update(open(name, "rb").read())
+    h.update(sample.get("edges", "").encode())
+    first = sample["lh_paths"].split(",")[0]
+    return "%s-sc-%s" % (os.path.basename(first), h.hexdigest()[:16])
+
+
+def _sc_result_to_store(fn: str, res: ScBfbResult) -> None:
+    import json
+    import os
+
+    tmp = fn + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"path_strings": res.path_strings, "seconds": res.seconds}, f
+        )
+    os.replace(tmp, fn)
+
+
+def _sc_result_from_store(fn: str) -> ScBfbResult:
+    import json
+
+    payload = json.load(open(fn))
+    return ScBfbResult(
+        path_strings=payload["path_strings"], seconds=payload["seconds"]
+    )
+
+
 def run_sc_bfb(
     lh_paths: str,
     juncs_path: str = "",
@@ -173,6 +352,7 @@ def run_sc_bfb(
     lp_prefix: str = "sample",
     edges: str = "",
     emit_lp: bool = False,
+    presolved: Optional[List] = None,
 ) -> ScBfbResult:
     begin = time.perf_counter()
     if out is None:
@@ -242,7 +422,10 @@ def run_sc_bfb(
             write_mps(sc_prog, lp_prefix + ".mps")
         from ambigram_tpu.engine.pipeline import _solve
 
-        sol = _solve(sc_prog, solver)
+        if presolved is not None and n < len(presolved) and presolved[n] is not None:
+            sol = presolved[n]
+        else:
+            sol = _solve(sc_prog, solver)
         if sol.status not in ("optimal", "heuristic"):
             out.write("ILP is unsolvable.\n")
             for k, g in enumerate(genomes):

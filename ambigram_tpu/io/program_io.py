@@ -57,8 +57,7 @@ def _terms(row: np.ndarray, names: List[str]) -> str:
 def write_lp(prog: BfbProgram, path: str) -> None:
     """Emit the epsilon-lifted MILP in CPLEX LP format."""
     names = _var_names(prog)
-    A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
-    c_res = np.concatenate([prog.c_seg, prog.c_fbi])
+    A_res, c_res = prog.residual_system()
     E = A_res.shape[0]
     eps = ["e%d" % k for k in range(E)]
     lines: List[str] = ["\\Problem name: ambigram_bfb", "", "Minimize"]
@@ -98,8 +97,7 @@ def write_mps(prog: BfbProgram, path: str) -> None:
     """Emit the same program in fixed MPS format (the reference's other
     artifact, LGM.cpp:4749)."""
     names = _var_names(prog)
-    A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
-    c_res = np.concatenate([prog.c_seg, prog.c_fbi])
+    A_res, c_res = prog.residual_system()
     E = A_res.shape[0]
     M = prog.G.shape[0]
     rows: List[str] = []

@@ -117,8 +117,7 @@ def milp_lad(
 
 def solve_exact(prog: BfbProgram, time_limit: Optional[float] = None) -> SolveResult:
     V = prog.num_vars
-    A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
-    c_res = np.concatenate([prog.c_seg, prog.c_fbi])
+    A_res, c_res = prog.residual_system()
     res = milp_lad(
         A_res, c_res, prog.G, prog.g_lb, prog.g_ub, prog.x_ub, time_limit
     )

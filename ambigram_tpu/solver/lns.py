@@ -282,8 +282,7 @@ def lns_polish(
     def left() -> float:
         return time_budget - (time.perf_counter() - t_start)
 
-    A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
-    c_res = np.concatenate([prog.c_seg, prog.c_fbi])
+    A_res, c_res = prog.residual_system()
     G, g_lb, g_ub = prog.G, prog.g_lb, prog.g_ub
 
     def measure(v: np.ndarray) -> Tuple[float, float]:

@@ -27,8 +27,7 @@ def solve_native(
     budget was hit (time_limit_s <= 0 disables the clock)."""
     from ambigram_tpu.native import native_bnb
 
-    A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
-    c_res = np.concatenate([prog.c_seg, prog.c_fbi])
+    A_res, c_res = prog.residual_system()
     n_res = A_res.shape[0]
     big = 1e30
     if prog.G.shape[0]:

@@ -137,7 +137,11 @@ def scoring_tensors(
     backend)."""
     V = prog.num_vars
     Vp = pad_vars if pad_vars is not None else _round_up(max(V, 128), 128)
-    R = prog.A_seg.shape[0] + prog.A_fbi.shape[0]
+    # residual rows: [seg | fbi | coupling] — coupling pairs (the SC
+    # evolution terms) materialize here as +-1 int8 rows with target 0
+    R0 = prog.A_seg.shape[0] + prog.A_fbi.shape[0]
+    P = prog.num_coupling
+    R = R0 + P
     M = prog.G.shape[0]
     rows = R + M
     # bucketing so instances of similar size share one compiled search
@@ -148,21 +152,29 @@ def scoring_tensors(
     x_ub[:V] = prog.x_ub
 
     # int8 representation: double the FBI rows so the 0.5 coefficients
-    # become integers, keep G unscaled, weight the hinges instead
+    # become integers, keep G unscaled, weight the hinges instead;
+    # coupling rows are +-1 already (weight 1, target 0)
     n_seg = prog.A_seg.shape[0]
     A_int = np.concatenate([prog.A_seg, 2.0 * prog.A_fbi], axis=0)
     c_int = np.concatenate([prog.c_seg, 2.0 * prog.c_fbi])
     H8 = np.zeros((Rp, Vp), dtype=np.int8)
     a8 = A_int.astype(np.int8)
     int8_ok = bool(np.array_equal(a8.astype(np.float64), A_int))
-    H8[:R, :V] = a8
+    H8[:R0, :V] = a8
+    if P:
+        rr = R0 + np.arange(P)
+        H8[rr, prog.coupling[:, 0]] = 1
+        H8[rr, prog.coupling[:, 1]] = -1
     lb_raw = np.full(Rp, -_BIG, dtype=np.float32)
     ub_raw = np.full(Rp, _BIG, dtype=np.float32)
-    lb_raw[:R] = c_int
-    ub_raw[:R] = c_int
+    lb_raw[:R0] = c_int
+    ub_raw[:R0] = c_int
+    lb_raw[R0:R] = 0.0
+    ub_raw[R0:R] = 0.0
     w = np.zeros(Rp, dtype=np.float32)
     w[:n_seg] = 1.0
-    w[n_seg:R] = 0.5
+    w[n_seg:R0] = 0.5
+    w[R0:R] = 1.0
     if M:
         g8 = prog.G.astype(np.int8)
         int8_ok = int8_ok and bool(np.array_equal(g8.astype(np.float64), prog.G))
@@ -199,9 +211,15 @@ def scoring_tensors(
     H = np.zeros((Rp, Vp), dtype=np.float32)
     lb = np.full(Rp, -_BIG, dtype=np.float32)
     ub = np.full(Rp, _BIG, dtype=np.float32)
-    H[:R, :V] = A_np
-    lb[:R] = c_np
-    ub[:R] = c_np
+    H[:R0, :V] = A_np
+    lb[:R0] = c_np
+    ub[:R0] = c_np
+    if P:
+        rr = R0 + np.arange(P)
+        H[rr, prog.coupling[:, 0]] = 1.0
+        H[rr, prog.coupling[:, 1]] = -1.0
+        lb[R0:R] = 0.0
+        ub[R0:R] = 0.0
     if M:
         H[R : R + M, :V] = PENALTY * prog.G
         lb[R : R + M] = np.maximum(PENALTY * prog.g_lb, -_BIG)

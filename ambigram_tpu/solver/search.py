@@ -495,9 +495,16 @@ def _search(
     max_sweeps: int = 256,
     chunk: int = 128,
     target: float = 0.0,
+    patience: int = 2,
 ):
     """Basin hopping: steepest descent to a local optimum, then restart
-    every member from the global best with random +-1/+-2 kicks."""
+    every member from the global best with random +-1/+-2 kicks.
+
+    `patience`: stop early after this many consecutive rounds without
+    improving the global best — with the triple-move neighborhood the
+    search usually lands on the optimum in the first rounds, and the LP
+    bound is too weak there to signal it via `target` (measured on the
+    noisy S=48 suite: optimum found, then 3-4 pure-waste rounds)."""
     B, Vp = X.shape
     hx = jnp.matmul(X, st.H.T, preferred_element_type=jnp.float32)
     scores = _score_from_hx(st, hx)
@@ -547,31 +554,43 @@ def _search(
     tgt = jnp.float32(target)
 
     def rounds_cond(state):
-        _, _, _, _, best_s, _, _, r = state
-        return jnp.logical_and(r < rounds, best_s > tgt)
+        _, _, _, _, best_s, _, _, r, stagnant = state
+        return jnp.logical_and(
+            jnp.logical_and(r < rounds, best_s > tgt),
+            stagnant <= patience,
+        )
 
     def rounds_body(state):
-        X, hx, scores, best_x, best_s, key, sweeps, r = state
+        X, hx, scores, best_x, best_s, key, sweeps, r, stagnant = state
+        prev_best = best_s
         X, hx, scores, best_x, best_s, key, sweeps = round_body(
             r, (X, hx, scores, best_x, best_s, key, sweeps)
         )
-        return X, hx, scores, best_x, best_s, key, sweeps, r + 1
+        stagnant = jnp.where(best_s < prev_best - 1e-6, 0, stagnant + 1)
+        return X, hx, scores, best_x, best_s, key, sweeps, r + 1, stagnant
 
-    X, hx, scores, best_x, best_s, _, sweeps, _ = jax.lax.while_loop(
+    X, hx, scores, best_x, best_s, _, sweeps, _, _ = jax.lax.while_loop(
         rounds_cond,
         rounds_body,
-        (X, hx, scores, best_x, best_s, key, sweeps0, jnp.int32(0)),
+        (
+            X,
+            hx,
+            scores,
+            best_x,
+            best_s,
+            key,
+            sweeps0,
+            jnp.int32(0),
+            jnp.int32(0),
+        ),
     )
 
-    # final descent from the best point (skipped arithmetic-free when
-    # already at zero: the loop exits on the first sweep)
-    hxf = jnp.matmul(best_x[None, :], st.H.T, preferred_element_type=jnp.float32)
-    Xf, _, sf, n_d, n_m, n_3 = _descend_loop(
-        st, best_x[None, :], hxf, best_s[None], max_sweeps, chunk, moves, moves3
-    )
-    # sweep counts: (delta, paired, triple sweeps at pop B; then the
-    # same three at pop 1 for the final descent)
-    return Xf[0], sf[0], (sweeps[0], sweeps[1], sweeps[2], n_d, n_m, n_3)
+    # no separate final descent: best_x is folded AFTER each round's
+    # descent, so it is already a local optimum of the full tiered
+    # neighborhood — a second `_descend_loop` instantiation at pop 1
+    # found nothing and doubled the compiled program (which costs
+    # minutes through remote-compile relays)
+    return best_x, best_s, (sweeps[0], sweeps[1], sweeps[2])
 
 
 def _seed_population(prog: BfbProgram, st: ScoringTensors, pop: int, seed: int) -> jnp.ndarray:
@@ -705,6 +724,8 @@ def eps_quantum(prog: BfbProgram) -> float:
     if np.all(np.abs(c * 2.0 - np.round(c * 2.0)) < 1e-9):
         A = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
         if np.all(np.abs(A * 2.0 - np.round(A * 2.0)) < 1e-9):
+            # coupling rows (targets 0, coefficients +-1) are always on
+            # the lattice, so they never demote the quantum
             q = 0.5
     # cache on the (frozen-shape) program object: the A scan is O(rows*V)
     # and certification asks repeatedly during LNS screening
@@ -743,12 +764,34 @@ def _lp_solve(prog: BfbProgram):
     except Exception:  # pragma: no cover
         return None
     V = prog.num_vars
-    A_res = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
-    c_res = np.concatenate([prog.c_seg, prog.c_fbi])
-    E = A_res.shape[0]
+    A_dense = np.concatenate([prog.A_seg, prog.A_fbi], axis=0)
+    c_res = np.concatenate(
+        [prog.c_seg, prog.c_fbi, np.zeros(prog.num_coupling)]
+    )
+    A_sp = csr_matrix(A_dense)
+    if prog.num_coupling:
+        # coupling rows assembled sparsely (2 nonzeros each): the dense
+        # materialization is gigabytes at single-cell scale
+        from scipy.sparse import coo_matrix
+
+        P = prog.num_coupling
+        r = np.arange(P)
+        coup = coo_matrix(
+            (
+                np.concatenate([np.ones(P), -np.ones(P)]),
+                (
+                    np.concatenate([r, r]),
+                    np.concatenate(
+                        [prog.coupling[:, 0], prog.coupling[:, 1]]
+                    ),
+                ),
+            ),
+            shape=(P, V),
+        ).tocsr()
+        A_sp = vstack([A_sp, coup], format="csr")
+    E = A_sp.shape[0]
     c = np.zeros(V + E)
     c[V:] = 1.0
-    A_sp = csr_matrix(A_res)
     I = eye(E, format="csr")
     blocks = [hstack([-A_sp, -I]), hstack([A_sp, -I])]
     b_parts = [-c_res, c_res]
@@ -807,6 +850,7 @@ def solve_device(
         rounds = int(os.environ.get("AMBIGRAM_SEARCH_ROUNDS", 6))
     if max_sweeps is None:
         max_sweeps = int(os.environ.get("AMBIGRAM_SEARCH_SWEEPS", 256))
+    patience = int(os.environ.get("AMBIGRAM_SEARCH_PATIENCE", 2))
     with GLOBAL.phase("solve.tensors"):
         st = scoring_tensors(prog)
         if device is not None:
@@ -859,6 +903,7 @@ def solve_device(
             rounds=rounds,
             max_sweeps=max_sweeps,
             target=max(float(target), 0.0),
+            patience=patience,
         )
         x = np.asarray(best_x)[: prog.num_vars]  # blocks until done
     # real candidates-scored accounting: a delta sweep evaluates 2*Vp
@@ -866,11 +911,10 @@ def solve_device(
     Vp = st.H.shape[1]
     M = mv_minus.shape[0]
     M3 = m3[0].shape[0]
-    n_d, n_m, n_3, n_d1, n_m1, n_31 = (int(v) for v in sweeps)
-    per_member = lambda d, m, t: d * 2.0 * Vp + m * M + t * M3
+    n_d, n_m, n_3 = (int(v) for v in sweeps)
     GLOBAL.count(
         "candidates_scored",
-        float(pop) * per_member(n_d, n_m, n_3) + per_member(n_d1, n_m1, n_31),
+        float(pop) * (n_d * 2.0 * Vp + n_m * M + n_3 * M3),
     )
     GLOBAL.count("solve.device_calls")
     x_int = np.round(x).astype(np.int64)

@@ -306,6 +306,71 @@ def bench_batch(n_cases=8):
     }
 
 
+def bench_scaling_proxy(mesh_sizes=(1, 2, 4, 8), n_cases=8):
+    """Measured weak-scaling proxy (BASELINE 'scaling efficiency' line):
+    wall seconds of the stacked case-sharded pass at mesh sizes 1/2/4/8
+    on a virtual CPU mesh over CONSTANT physical hardware. Ideal is a
+    flat line; overhead_pct is the sharding machinery's cost (mesh
+    partitioning + shard_map dispatch + psum collectives) — the only
+    component of multi-chip scaling measurable without real chips.
+    Each mesh size runs in a subprocess (device count is fixed at
+    backend init)."""
+    import shutil
+
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+
+    td = tempfile.mkdtemp(prefix="ambigram_scaling_proxy_")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    # small shard budgets: the proxy measures dispatch + collectives,
+    # not search quality
+    env.setdefault("AMBIGRAM_SHARD_POP", "8")
+    env.setdefault("AMBIGRAM_SHARD_STEPS", "12")
+    env.setdefault("AMBIGRAM_SHARD_ROUNDS", "2")
+    legs = {}
+    try:
+        for i in range(n_cases):
+            case = simulate_bfb_case(
+                seed=400 + i, n_segments=16, rounds=4, mode="process", noise=0.0
+            )
+            write_case(case, os.path.join(td, "sp%d" % i))
+        for m in mesh_sizes:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    "-m",
+                    "ambigram_tpu.scripts.scaling_proxy",
+                    "--cases",
+                    td,
+                    "--mesh",
+                    str(m),
+                ],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            legs["mesh%d" % m] = json.loads(line) if line.startswith("{") else {
+                "error": out.stderr[-300:]
+            }
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    base = legs.get("mesh1", {}).get("seconds")
+    if isinstance(base, (int, float)) and base > 0:
+        for m in mesh_sizes:
+            leg = legs.get("mesh%d" % m, {})
+            if isinstance(leg.get("seconds"), (int, float)):
+                leg["overhead_pct"] = round(
+                    100.0 * (leg["seconds"] - base) / base, 1
+                )
+    return legs
+
+
 def bench_big():
     """Opt-in (AMBIGRAM_BENCH_SUITE=big) large-S legs capturing the
     S=64 / S=96 claims as artifacts: device search vs the 60s-budget
@@ -409,6 +474,17 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             print("batch bench failed: %s" % e, file=sys.stderr)
+        try:
+            scaling = bench_scaling_proxy()
+            print(
+                json.dumps(
+                    {"metric": "scaling_proxy_overhead", **scaling}
+                ),
+                file=sys.stderr,
+                flush=True,
+            )
+        except Exception as e:  # pragma: no cover
+            print("scaling proxy bench failed: %s" % e, file=sys.stderr)
     if suite_mode == "big":
         try:
             big = bench_big()
