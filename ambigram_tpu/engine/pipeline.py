@@ -117,16 +117,20 @@ def _solve(
     # V=506 → 0.23s, V=930 → 0.83s, V=2550 → 6.3s on one core, versus
     # 20-60s for a cold search compile through the TPU remote-compile
     # helper), so small and mid-size programs go straight to the exact
-    # solver. Above that split the device search OWNS the regime
-    # (measured on noisy simulated suites, v5e one chip vs one host
-    # core: S=64/V=4160 device 17s warm eps=10.2 vs HiGHS-60s 74s
-    # eps=56.3; S=96/V=9312 device ~40s warm eps=13.7 vs HiGHS-60s
-    # 143s with NO usable incumbent), so a feasible device incumbent is
-    # accepted as the answer after a short warm-started native-B&B
-    # polish — no 60s MILP tail. The MILP only runs at large V when the
-    # search produced nothing feasible. If nothing proves optimality,
-    # the best feasible incumbent across stages wins (path replay
-    # accepts it as an uncertified solution).
+    # solver. Above that split the device search OWNS the regime —
+    # re-measured 2026-08-20 with the triple-move (split/merge) sweeps
+    # on noisy simulated cases, v5e one chip vs one host core:
+    # S=48/V=2352 x4: search total eps 35.48 == the exact optimum
+    # (HiGHS full solves agree) at ~5s/case device; S=64/V=4160:
+    # device eps 10.21 in 39.4s vs HiGHS-60s eps 56.33 in 68.5s.
+    # (An earlier r3 snapshot had exact-60s beating the PRE-triple-move
+    # search at S=64 — that regression is gone, so the 2048 split
+    # stands.) A feasible device incumbent is accepted as the answer
+    # after a short warm-started native-B&B polish — no 60s MILP tail.
+    # The MILP only runs at large V when the search produced nothing
+    # feasible. If nothing proves optimality, the best feasible
+    # incumbent across stages wins (path replay accepts it as an
+    # uncertified solution).
     from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
     from ambigram_tpu.solver.native_bnb import solve_native
 
@@ -606,6 +610,12 @@ def solve_programs_batch(
         # 9.7 s at equal-or-better epsilon — the stacked greedy step is
         # weaker than full basin hopping and buys nothing without case
         # parallelism), so everything goes per-case then.
+        #
+        # The stacked pass and the big-case searches run CONCURRENTLY
+        # (VERDICT r3 #3): the stacked pass is submitted first so its
+        # device program enters the queue while big-case host work (LP
+        # seeding, polish) proceeds — the chip never waits for a host
+        # phase to finish before starting the next device phase.
         if mesh is None:
             from ambigram_tpu.parallel.mesh import make_mesh
 
@@ -617,156 +627,175 @@ def solve_programs_batch(
             for key, prog in zip(index, flat)
             if prog.num_vars > big_cut
         ]
-        if big:
-            from ambigram_tpu.solver.search import solve_device
-
-            # per-case searches stay on the caller's mesh: a caller that
-            # restricted the batch to a device subset (shared hosts)
-            # must not have cases round-robined onto chips outside it.
-            # Multi-host meshes list every process's devices; device_put
-            # only works on THIS process's, so keep the addressable ones
-            # (each host of a jax.distributed run solves its host_shard
-            # of the case list — parallel/distributed.py)
-            import jax
-
-            devices = [
-                d
-                for d in mesh.devices.flatten()
-                if d.process_index == jax.process_index()
-            ] or jax.local_devices()
-            workers = min(4, len(big))
-            per_case_lns = _per_case_lns_budget(len(big), workers)
-
-            # thread pool: cases are independent, and each one
-            # alternates host work (LP seeding, LNS MILPs — HiGHS
-            # releases the GIL) with device work (the search — jax
-            # dispatch releases the GIL), so threading overlaps case
-            # i's polish with case j's search even on one chip.
-            # Results are per-case deterministic regardless of
-            # interleaving (fixed per-case seeds).
-            from concurrent.futures import ThreadPoolExecutor
-
-            def _solve_big(item):
-                k, (key, prog) = item
-                dev = devices[k % len(devices)]
-                if solver == "auto":
-                    return key, _solve(
-                        prog, "auto", lns_budget=per_case_lns, device=dev
-                    )
-                return key, solve_device(
-                    prog, device=dev, lns_budget=per_case_lns
-                )
-
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                for key, sol in pool.map(_solve_big, enumerate(big)):
-                    solutions[key] = sol
-            kept = [
-                (key, prog)
-                for key, prog in zip(index, flat)
-                if prog.num_vars <= big_cut
-            ]
-            index = [key for key, _ in kept]
-            flat = [prog for _, prog in kept]
-    if flat and solver in ("device", "auto"):
-        from ambigram_tpu.parallel.mesh import solve_cases_sharded
-        from ambigram_tpu.solver.exact import SolveResult, solve_exact
-        from ambigram_tpu.solver.search import lp_lower_bound
-
-        best = solve_cases_sharded(flat, mesh=mesh)
-        # same global LNS wall-clock policy as the big-case branch
-        post_workers = min(4, max(1, len(flat)))
-        per_case_lns = _per_case_lns_budget(len(flat), post_workers)
-
-        def _post_one(args):
-            """Host-side polish/certify/fallback for one sharded
-            incumbent. Runs on a thread pool: HiGHS (LNS MILPs, the LP
-            bound, the exact fallback) and the native B&B all release
-            the GIL, so cases overlap on multi-core hosts and a single
-            slow fallback cannot serialize the whole batch."""
-            key, prog, x = args
-            eps = float(prog.residual_objective(x.astype(np.float64)))
-            vio = float(prog.hard_violation(x.astype(np.float64)))
-            lb = None
-            if vio != 0.0 or eps != 0.0:
-                # LNS window polish on the sharded incumbent: recovers
-                # the last few epsilon the dense-move step leaves behind
-                # (and repairs violated rows), often reaching the LP
-                # certificate so the exact fallbacks below never run
-                from ambigram_tpu.solver.lns import lns_polish
-                from ambigram_tpu.solver.search import certified_bound
-
-                lb = lp_lower_bound(prog)
-                tgt = certified_bound(prog, lb) if lb is not None else None
-                x_p, eps_p, vio_p = lns_polish(
-                    prog, x.astype(np.int64), target=tgt, time_budget=per_case_lns
-                )
-                if (vio_p, eps_p) < (vio, eps):
-                    x, eps, vio = x_p.astype(x.dtype), eps_p, vio_p
-            certified = False
-            if vio == 0.0:
-                if eps == 0.0:
-                    # the objective is nonnegative: eps == 0 certifies
-                    # itself with no LP solve
-                    certified = True
-                else:
-                    from ambigram_tpu.solver.search import certified_bound
-
-                    if lb is None:
-                        lb = lp_lower_bound(prog)
-                    # the LP bound rounded to the epsilon lattice (when
-                    # one exists) is the sharpest sound certificate
-                    certified = lb is not None and eps <= certified_bound(
-                        prog, lb
-                    ) + 1e-6
-            if certified:
-                return key, SolveResult(
-                    x=x, epsilon_sum=eps, objective=eps - prog.bias, status="optimal"
-                )
-            if solver == "auto":
-                from ambigram_tpu.solver.native_bnb import solve_native
-
-                warm = SolveResult(
-                    x=x.astype(np.int64),
-                    epsilon_sum=eps,
-                    objective=eps - prog.bias,
-                    status="heuristic" if vio == 0 else "error",
-                )
-                nres = solve_native(
-                    prog, warm=warm if vio == 0 else None, time_limit_s=10.0
-                )
-                if nres is not None and nres.status in ("optimal", "infeasible"):
-                    return key, nres
-                eres = solve_exact(prog, time_limit=60.0)
-                if eres.status in ("optimal", "infeasible"):
-                    return key, eres
-                # no stage proved optimality: best feasible incumbent
-                pool = [
-                    c
-                    for c in (warm, nres, eres)
-                    if c is not None
-                    and c.status == "heuristic"
-                    and float(prog.hard_violation(c.x.astype(np.float64))) == 0.0
-                ]
-                return key, (min(pool, key=lambda c: c.epsilon_sum) if pool else eres)
-            return key, SolveResult(
-                x=x,
-                epsilon_sum=eps,
-                objective=eps - prog.bias,
-                status="heuristic" if vio == 0 else "error",
-            )
-
+        rest = [
+            (key, prog)
+            for key, prog in zip(index, flat)
+            if prog.num_vars <= big_cut
+        ]
         from concurrent.futures import ThreadPoolExecutor
 
-        items = list(zip(index, flat, best))
-        with ThreadPoolExecutor(max_workers=post_workers) as pool_ex:
-            for key, sol in pool_ex.map(_post_one, items):
-                solutions[key] = sol
-    elif flat:
+        from ambigram_tpu.solver.search import solve_device
+
+        # per-case searches stay on the caller's mesh: a caller that
+        # restricted the batch to a device subset (shared hosts)
+        # must not have cases round-robined onto chips outside it.
+        # Multi-host meshes list every process's devices; device_put
+        # only works on THIS process's, so keep the addressable ones
+        # (each host of a jax.distributed run solves its host_shard
+        # of the case list — parallel/distributed.py)
+        import jax
+
+        devices = [
+            d
+            for d in mesh.devices.flatten()
+            if d.process_index == jax.process_index()
+        ] or jax.local_devices()
+        workers = min(4, len(big)) if big else 0
+        per_case_lns = _per_case_lns_budget(len(big), max(workers, 1))
+
+        # thread pool: cases are independent, and each one
+        # alternates host work (LP seeding, LNS MILPs — HiGHS
+        # releases the GIL) with device work (the search — jax
+        # dispatch releases the GIL), so threading overlaps case
+        # i's polish with case j's search even on one chip.
+        # Results are per-case deterministic regardless of
+        # interleaving (fixed per-case seeds).
+        def _solve_big(item):
+            k, (key, prog) = item
+            dev = devices[k % len(devices)]
+            if solver == "auto":
+                return key, _solve(
+                    prog, "auto", lns_budget=per_case_lns, device=dev
+                )
+            return key, solve_device(
+                prog, device=dev, lns_budget=per_case_lns
+            )
+
+        with ThreadPoolExecutor(
+            max_workers=max(workers, 1) + (1 if rest else 0)
+        ) as pool:
+            stack_fut = (
+                pool.submit(_solve_stacked, rest, solver, mesh)
+                if rest
+                else None
+            )
+            if big:
+                for key, sol in pool.map(_solve_big, enumerate(big)):
+                    solutions[key] = sol
+            if stack_fut is not None:
+                solutions.update(stack_fut.result())
+        flat, index = [], []
+    if flat:
         from ambigram_tpu.solver.exact import solve_exact
 
         for key, prog in zip(index, flat):
             solutions[key] = solve_exact(prog)
     return solutions
+
+
+def _solve_stacked(items, solver: str, mesh) -> Dict[tuple, object]:
+    """The mid-size leg of `solve_programs_batch`: one stacked
+    case-sharded device pass over `items` ([(key, prog), ...]), then a
+    threaded host polish/certify/fallback per incumbent. Runs inside
+    the batch's thread pool so its device pass overlaps the big-case
+    searches."""
+    flat = [prog for _, prog in items]
+    index = [key for key, _ in items]
+    from ambigram_tpu.parallel.mesh import solve_cases_sharded
+    from ambigram_tpu.solver.exact import SolveResult, solve_exact
+    from ambigram_tpu.solver.search import lp_lower_bound
+
+    best = solve_cases_sharded(flat, mesh=mesh)
+    # same global LNS wall-clock policy as the big-case branch
+    post_workers = min(4, max(1, len(flat)))
+    per_case_lns = _per_case_lns_budget(len(flat), post_workers)
+
+    def _post_one(args):
+        """Host-side polish/certify/fallback for one sharded
+        incumbent. Runs on a thread pool: HiGHS (LNS MILPs, the LP
+        bound, the exact fallback) and the native B&B all release
+        the GIL, so cases overlap on multi-core hosts and a single
+        slow fallback cannot serialize the whole batch."""
+        key, prog, x = args
+        eps = float(prog.residual_objective(x.astype(np.float64)))
+        vio = float(prog.hard_violation(x.astype(np.float64)))
+        lb = None
+        if vio != 0.0 or eps != 0.0:
+            # LNS window polish on the sharded incumbent: recovers
+            # the last few epsilon the dense-move step leaves behind
+            # (and repairs violated rows), often reaching the LP
+            # certificate so the exact fallbacks below never run
+            from ambigram_tpu.solver.lns import lns_polish
+            from ambigram_tpu.solver.search import certified_bound
+
+            lb = lp_lower_bound(prog)
+            tgt = certified_bound(prog, lb) if lb is not None else None
+            x_p, eps_p, vio_p = lns_polish(
+                prog, x.astype(np.int64), target=tgt, time_budget=per_case_lns
+            )
+            if (vio_p, eps_p) < (vio, eps):
+                x, eps, vio = x_p.astype(x.dtype), eps_p, vio_p
+        certified = False
+        if vio == 0.0:
+            if eps == 0.0:
+                # the objective is nonnegative: eps == 0 certifies
+                # itself with no LP solve
+                certified = True
+            else:
+                from ambigram_tpu.solver.search import certified_bound
+
+                if lb is None:
+                    lb = lp_lower_bound(prog)
+                # the LP bound rounded to the epsilon lattice (when
+                # one exists) is the sharpest sound certificate
+                certified = lb is not None and eps <= certified_bound(
+                    prog, lb
+                ) + 1e-6
+        if certified:
+            return key, SolveResult(
+                x=x, epsilon_sum=eps, objective=eps - prog.bias, status="optimal"
+            )
+        if solver == "auto":
+            from ambigram_tpu.solver.native_bnb import solve_native
+
+            warm = SolveResult(
+                x=x.astype(np.int64),
+                epsilon_sum=eps,
+                objective=eps - prog.bias,
+                status="heuristic" if vio == 0 else "error",
+            )
+            nres = solve_native(
+                prog, warm=warm if vio == 0 else None, time_limit_s=10.0
+            )
+            if nres is not None and nres.status in ("optimal", "infeasible"):
+                return key, nres
+            eres = solve_exact(prog, time_limit=60.0)
+            if eres.status in ("optimal", "infeasible"):
+                return key, eres
+            # no stage proved optimality: best feasible incumbent
+            pool = [
+                c
+                for c in (warm, nres, eres)
+                if c is not None
+                and c.status == "heuristic"
+                and float(prog.hard_violation(c.x.astype(np.float64))) == 0.0
+            ]
+            return key, (min(pool, key=lambda c: c.epsilon_sum) if pool else eres)
+        return key, SolveResult(
+            x=x,
+            epsilon_sum=eps,
+            objective=eps - prog.bias,
+            status="heuristic" if vio == 0 else "error",
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    out: Dict[tuple, object] = {}
+    post_items = list(zip(index, flat, best))
+    with ThreadPoolExecutor(max_workers=post_workers) as pool_ex:
+        for key, sol in pool_ex.map(_post_one, post_items):
+            out[key] = sol
+    return out
 
 
 def _case_store_key(lh_path: str) -> str:

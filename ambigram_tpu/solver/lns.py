@@ -248,6 +248,7 @@ def lns_polish(
     support_cap: int = 96,
     target: Optional[float] = None,
     time_budget: Optional[float] = None,
+    probe: bool = False,
 ) -> Tuple[np.ndarray, float, float]:
     """Polish incumbent x0 by exact restricted re-solves. Returns
     (x, epsilon_sum, hard_violation) for the best point found (never
@@ -266,7 +267,16 @@ def lns_polish(
     share since it does the heavy lifting. Single-cell block programs
     (engine/sc.py) are supported: masks replicate across clone blocks,
     so a window frees the same pairs in every clone and the coupling
-    rows stay active inside the subproblem."""
+    rows stay active inside the subproblem.
+
+    `probe`: cheap single-pass mode — the endpoint neighborhood plus
+    ONE window (the highest-residual one). Callers whose incumbent came
+    from a CONVERGED search use this to test whether LNS has anything
+    to add before paying the full sliding-window sweep: since the
+    triple-move device search started landing on the integer optimum
+    (solver/search.py), the full LNS usually just proves no-improvement
+    at ~10 s/case in screen LPs — the probe caps that at two
+    neighborhoods, and an improvement escalates to a full polish."""
     import os
     import time
 
@@ -312,6 +322,16 @@ def lns_polish(
     starts = list(range(prog.start, prog.end - window + 2, stride))
     if not starts or starts[-1] + window - 1 < prog.end:
         starts.append(max(prog.start, prog.end - window + 1))
+    if probe:
+        # single worst window: center it on the highest-residual segment
+        K = _num_blocks(prog)
+        r = np.abs(ax - c_res)
+        seg_r = r[: K * n].reshape(K, n).sum(axis=0)
+        seg_r = seg_r + r[K * n : 2 * K * n].reshape(K, n).sum(axis=0)
+        center = prog.start + int(np.argmax(seg_r))
+        ws = min(max(prog.start, center - window // 2), prog.end - window + 1)
+        starts = [max(prog.start, ws)]
+        max_passes = 1
 
     from ambigram_tpu.solver.search import eps_quantum
 

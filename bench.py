@@ -227,7 +227,7 @@ def bench_suite(n_cases=4, n_segments=48):
     return out
 
 
-def bench_batch(n_cases=8):
+def bench_batch(n_cases=16):
     """Measured batch throughput (the BASELINE 'time-to-solution on the
     suite' metric): run_bfb_many over a mixed-size case list on the
     chip versus the reference-shaped serial per-case loop on the host
