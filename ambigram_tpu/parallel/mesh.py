@@ -170,6 +170,9 @@ def solve_cases_sharded(
     one when tuning the other."""
     import os
 
+    from ambigram_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # stacked-pass compiles amortize across processes
     if pop is None:
         pop = int(os.environ.get("AMBIGRAM_SHARD_POP", 32))
     if steps is None:

@@ -294,27 +294,43 @@ def chained_mutate(X, s, i, x_ub):
     return jnp.concatenate([head, X[:, 128:]], axis=1)
 
 
-def _chained_kernel(h8_ref, lb_ref, ub_ref, w_ref, xub_ref, x_ref, acc_ref, *, iters):
+def _chained_kernel(
+    h8_ref, lb_ref, ub_ref, w_ref, xub_ref, x_ref, acc_ref, *, iters, n_row_tiles
+):
     """One candidate block's full scoring chain, VMEM-resident: the
     [block_b, Vp] candidates and the [Rows, Vp] int8 row matrix stay on
     chip for all `iters` iterations (matmul -> weighted hinges ->
     data-dependent bump), so HBM sees each candidate exactly once.
     Semantics identical to bench.py's XLA `chained` loop on the int8
-    scoring path."""
+    scoring path.
+
+    `n_row_tiles` splits the row dimension into independent
+    (dot, hinge) tile pairs inside the loop body: tile j's VPU hinge
+    has no dependence on tile j+1's MXU matmul, so Mosaic can overlap
+    them — the serialized form (n_row_tiles=1) bounds utilization at
+    ~73% on the benchmark shape because the ~4.3 us of hinge VPU work
+    per iteration waits for the full 11.5 us matmul (roofline in
+    docs/ARCHITECTURE.md)."""
     xub = xub_ref[...]  # [1, Vp]
+    Rows = h8_ref.shape[0]
+    tile = Rows // n_row_tiles
 
     def body(i, carry):
         X, acc = carry
-        hx = jax.lax.dot_general(
-            X.astype(jnp.int8),
-            h8_ref[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-        over = jnp.maximum(hx - jnp.broadcast_to(ub_ref[...], hx.shape), 0.0)
-        under = jnp.maximum(jnp.broadcast_to(lb_ref[...], hx.shape) - hx, 0.0)
-        w = jnp.broadcast_to(w_ref[...], hx.shape)
-        s = jnp.sum(w * (over + under), axis=-1, keepdims=True)  # [block_b, 1]
+        x8 = X.astype(jnp.int8)
+        s = jnp.zeros((X.shape[0], 1), jnp.float32)
+        for j in range(n_row_tiles):  # static unroll: tiles are independent
+            sl = slice(j * tile, (j + 1) * tile)
+            hx = jax.lax.dot_general(
+                x8,
+                h8_ref[sl, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            over = jnp.maximum(hx - jnp.broadcast_to(ub_ref[:, sl], hx.shape), 0.0)
+            under = jnp.maximum(jnp.broadcast_to(lb_ref[:, sl], hx.shape) - hx, 0.0)
+            w = jnp.broadcast_to(w_ref[:, sl], hx.shape)
+            s = s + jnp.sum(w * (over + under), axis=-1, keepdims=True)
         X = chained_mutate(X, s, i, xub)
         return X, acc + jnp.sum(s)
 
@@ -324,15 +340,21 @@ def _chained_kernel(h8_ref, lb_ref, ub_ref, w_ref, xub_ref, x_ref, acc_ref, *, i
     acc_ref[...] = jnp.full(acc_ref.shape, acc, dtype=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "block_b"))
+@functools.partial(jax.jit, static_argnames=("iters", "block_b", "n_row_tiles"))
 def chained_score_pallas(
-    st: ScoringTensors, x: jnp.ndarray, iters: int, block_b: int = 512
+    st: ScoringTensors,
+    x: jnp.ndarray,
+    iters: int,
+    block_b: int = 512,
+    n_row_tiles: int = 1,
 ) -> jnp.ndarray:
     """Chained scoring of x [B, Vp] for `iters` data-dependent
     iterations (the benchmark workload), fused into one Pallas kernel.
     Requires the int8-exact program representation (st.use_int8) and
     B divisible by block_b. Returns the scalar checksum (sum of all
-    scores across iterations)."""
+    scores across iterations). `n_row_tiles` must divide the padded row
+    count into lane-aligned tiles (Rows multiple of 128*n_row_tiles);
+    see `_chained_kernel` for what it buys."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -344,6 +366,9 @@ def chained_score_pallas(
         "batch %d must be divisible by block_b %d (the grid would "
         "silently drop the remainder candidates)" % (B, block_b)
     )
+    assert Rows % (128 * n_row_tiles) == 0, (
+        "rows %d must split into %d lane-aligned tiles" % (Rows, n_row_tiles)
+    )
     grid = (B // block_b,)
     lb2 = st.lb_raw.reshape(1, Rows)
     ub2 = st.ub_raw.reshape(1, Rows)
@@ -351,7 +376,7 @@ def chained_score_pallas(
     xub2 = st.x_ub.reshape(1, Vp)
     interpret = jax.default_backend() != "tpu"
     acc = pl.pallas_call(
-        functools.partial(_chained_kernel, iters=iters),
+        functools.partial(_chained_kernel, iters=iters, n_row_tiles=n_row_tiles),
         out_shape=jax.ShapeDtypeStruct((grid[0] * 8, 128), jnp.float32),
         grid=grid,
         in_specs=[

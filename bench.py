@@ -49,7 +49,7 @@ def build_workload(n_segments=32, batch=16384):
     return prog, st, X
 
 
-def bench_device(st, X, iters=200):
+def bench_device(st, X, iters=200, block_b=None, n_row_tiles=None):
     import jax
     import jax.numpy as jnp
 
@@ -62,6 +62,13 @@ def bench_device(st, X, iters=200):
     Xj = jax.device_put(X)
     B, Vp = X.shape
 
+    # kernel layout knobs (swept by bench_kernel_sweep; defaults are the
+    # measured best on v5e for the benchmark shape)
+    if block_b is None:
+        block_b = int(os.environ.get("AMBIGRAM_KERNEL_BLOCK_B", 512))
+    if n_row_tiles is None:
+        n_row_tiles = int(os.environ.get("AMBIGRAM_KERNEL_ROW_TILES", 1))
+
     # st must be an ARGUMENT, not a closure: closed-over tensors become
     # HLO constants, and serializing them dominates lowering time on
     # remote-compile backends
@@ -69,7 +76,11 @@ def bench_device(st, X, iters=200):
         # fused Pallas chain: candidates + row matrix stay in VMEM for
         # all iterations (measured +21% over the XLA loop on v5e)
         kernel_path = "pallas-fused-int8"
-        f = jax.jit(lambda st, x: chained_score_pallas(st, x, iters))
+        f = jax.jit(
+            lambda st, x: chained_score_pallas(
+                st, x, iters, block_b=block_b, n_row_tiles=n_row_tiles
+            )
+        )
     else:
 
         def chained(st, X0):
@@ -132,6 +143,35 @@ def bench_baseline(prog, X, iters=2):
         os.unlink(path)
 
 
+def bench_kernel_sweep(st, X, iters=200):
+    """Sweep the fused chained kernel's layout knobs (VERDICT r3 #8):
+    candidate block size x row tiling. Returns {variant: cand/s}; the
+    checksum of every variant must match (the tilings are exact
+    reassociations of an integer computation)."""
+    out = {}
+    checks = []
+    for block_b in (256, 512, 1024):
+        for n_row_tiles in (1, 2, 3, 5, 6):
+            if st.H8.shape[0] % (128 * n_row_tiles):
+                continue
+            try:
+                cps, checksum, _ = bench_device(
+                    st, X, iters=iters, block_b=block_b, n_row_tiles=n_row_tiles
+                )
+            except Exception as e:  # scoped-VMEM OOM on some layouts
+                out["b%d_t%d" % (block_b, n_row_tiles)] = str(e).splitlines()[0][:80]
+                continue
+            out["b%d_t%d" % (block_b, n_row_tiles)] = round(cps, 1)
+            checks.append(checksum)
+    # per-candidate chains are identical across layouts; only the f32
+    # summation order of the final checksum differs
+    if checks and (max(checks) - min(checks)) > 1e-5 * max(
+        abs(c) for c in checks
+    ):  # pragma: no cover
+        out["checksum_mismatch"] = [min(checks), max(checks)]
+    return out
+
+
 def suite_programs(n_cases=4, n_segments=48, noise=0.05):
     import shutil
 
@@ -169,17 +209,19 @@ def bench_suite(n_cases=4, n_segments=48):
     from ambigram_tpu.solver.search import solve_device
     from ambigram_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()  # no-op on relay backends (not serializable)
+    cache_dir = enable_compilation_cache()  # verified working on the relay backend
     progs = suite_programs(n_cases=n_cases, n_segments=n_segments)
 
     # one-time bucket compile, reported separately: every case in the
     # suite shares one padded shape, so this is the only compile any
     # mode pays (the relay's remote-compile latency is also highly
     # variable — 30-230s observed — and charging it to one mode would
-    # randomize the comparison)
+    # randomize the comparison). With the persistent cache this is a
+    # once-per-machine cost: a warm run loads the executable in <1s.
     t0 = time.perf_counter()
     solve_device(progs[0])
     compile_seconds = round(time.perf_counter() - t0, 1)
+    cache_state = "enabled:%s" % cache_dir if cache_dir else "disabled"
 
     def run(mode):
         import numpy as np
@@ -219,6 +261,7 @@ def bench_suite(n_cases=4, n_segments=48):
         "cases": "%dxS%d noise=0.05" % (n_cases, n_segments),
         "n_cases": n_cases,
         "device_compile_seconds": compile_seconds,
+        "xla_cache": cache_state,
     }
     for mode in ("device", "auto", "exact"):
         out[mode] = run(mode)
@@ -495,6 +538,16 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             print("big bench failed: %s" % e, file=sys.stderr)
+    if suite_mode == "kernel":
+        try:
+            sweep = bench_kernel_sweep(st, X)
+            print(
+                json.dumps({"metric": "kernel_layout_sweep", **sweep}),
+                file=sys.stderr,
+                flush=True,
+            )
+        except Exception as e:  # pragma: no cover
+            print("kernel sweep failed: %s" % e, file=sys.stderr)
 
 
 if __name__ == "__main__":

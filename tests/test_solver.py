@@ -321,6 +321,14 @@ def test_chained_pallas_matches_xla_loop():
     # identical; the final checksum exceeds 2^24 and its f32 value
     # depends on accumulation order (per-block vs whole-batch)
     assert got == pytest.approx(ref, rel=1e-6)
+    # row tiling is a pure reassociation of the same integer chain
+    # (tile sums are exact): every layout must agree
+    n_tiles = 2
+    assert st.H8.shape[0] % (128 * n_tiles) == 0
+    tiled = float(
+        chained_score_pallas(st, Xj, iters, block_b=128, n_row_tiles=n_tiles)
+    )
+    assert tiled == pytest.approx(ref, rel=1e-6)
 
 
 def test_auto_midsize_never_compiles_device(tmp_path, monkeypatch):
