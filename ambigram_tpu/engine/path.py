@@ -168,6 +168,28 @@ def replay_bfb(
     as materializing all orders (differential-tested), without the
     factorial order list. Falls back to the Python path for
     print_all mode or when no toolchain is available."""
+    # The shared-parent edge rule (LGM.cpp:3353-3361) is not
+    # span-monotone, so some solved CN vectors yield a CYCLIC graph —
+    # zero topological orders exist, and enumerating to discover that
+    # is a factorial dead-end scan (the reference would hang; observed
+    # 30+ CPU-minutes on a noisy S=32 incumbent). Kahn's check answers
+    # "no path" in O(nodes + edges) with identical semantics.
+    n_nodes = len(adj)
+    indeg = [0] * n_nodes
+    for nbrs in adj:
+        for j in nbrs:
+            indeg[j] += 1
+    frontier = [i for i in range(n_nodes) if indeg[i] == 0]
+    seen = 0
+    while frontier:
+        u = frontier.pop()
+        seen += 1
+        for j in adj[u]:
+            indeg[j] -= 1
+            if indeg[j] == 0:
+                frontier.append(j)
+    if seen != n_nodes:
+        return []
     if not print_all:
         try:
             from ambigram_tpu.native import native_bfb_replay
@@ -190,15 +212,19 @@ def replay_bfb(
             return path
     # Python path (print_all mode / no toolchain): stream orders from
     # the lazy enumerator — O(width) memory on wide DAGs instead of the
-    # factorial order list. AMBIGRAM_MAX_ORDERS (0 = unbounded,
-    # reference behavior) caps enumeration per pass on pathological
-    # inputs; first-success and reverse-retry semantics are unchanged.
+    # factorial order list. AMBIGRAM_MAX_ORDERS (0 = unbounded, the
+    # reference's exact behavior) caps enumeration per pass on
+    # pathological inputs — a wide DAG whose orders all fail to replay
+    # is otherwise a factorial-time hang (observed: 30+ CPU-minutes on
+    # a noisy S=48 solution). First-success and reverse-retry semantics
+    # are unchanged; a bounded pass that finds nothing yields the
+    # empty path, same as the reference's no-order-worked outcome.
     import itertools
     import os
 
     from ambigram_tpu.engine.dag import iter_topological_orders
 
-    cap = int(os.environ.get("AMBIGRAM_MAX_ORDERS", "0"))
+    cap = int(os.environ.get("AMBIGRAM_MAX_ORDERS", "200000"))
 
     def make_orders():
         it = (o for o in iter_topological_orders(adj) if o)

@@ -129,14 +129,30 @@ def native_bfb_replay(
     node2loop: List[List[int]],
     inversions: Dict[int, Tuple[int, int]],
     is_reversed: bool = False,
-    max_replays: int = 0,
+    max_replays: Optional[int] = None,
 ) -> Optional[List[Tuple[int, int]]]:
     """Run the native replay. inversions: seg_id -> (junction source id,
     junction target id). Returns [(seg_id, dir +1/-1), ...], [] when no
-    order succeeds, or None when the native lib is unavailable."""
+    order succeeds, or None when the native lib is unavailable.
+
+    `max_replays` bounds the order enumeration PER orientation pass
+    (forward and the reverse retry each get the full budget), and a
+    derived WORK budget (64 splice-traffic units per budgeted replay,
+    native/bfb_replay.cpp) bounds actual time even when large-CN
+    incumbents make individual replays expensive. The default comes
+    from AMBIGRAM_MAX_REPLAYS (1e6 ≈ a few seconds of C time per
+    pass). 0 = unbounded — the reference's exact behavior
+    (LGM.cpp:3380-3409 enumerates every topological order), which on a
+    wide DAG whose orders ALL fail to replay is a factorial-time hang:
+    a noisy S=32 heuristic solution was observed to burn 30+
+    CPU-minutes here. Bounded-budget runs that exhaust without success
+    return [] (no path), exactly like the reference's no-order-worked
+    outcome."""
     lib = _get_lib("bfb_replay")
     if lib is None:
         return None
+    if max_replays is None:
+        max_replays = int(os.environ.get("AMBIGRAM_MAX_REPLAYS", 1_000_000))
     n = len(adj)
     if n == 0:
         return []
@@ -160,27 +176,32 @@ def native_bfb_replay(
 
     fn = lib.bfb_replay
     fn.restype = ctypes.c_int
-    cap = 1 << 20
-    out = np.zeros(cap, dtype=np.int32)
 
     def ptr(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
 
-    res = fn(
-        ctypes.c_int(n),
-        ptr(adj_off),
-        ptr(adj_flat),
-        ptr(np.ascontiguousarray(pat)),
-        ptr(np.ascontiguousarray(loop)),
-        ctypes.c_int(len(keys)),
-        ptr(inv_key),
-        ptr(inv_src),
-        ptr(inv_tgt),
-        ctypes.c_int(1 if is_reversed else 0),
-        ctypes.c_longlong(max_replays),
-        ptr(out),
-        ctypes.c_int(cap),
-    )
-    if res < 0:
-        return None  # capacity exceeded: fall back to Python
-    return [(int(out[2 * k]), int(out[2 * k + 1])) for k in range(res)]
+    # capacity retry (16x) instead of falling back to the Python
+    # enumerator: re-enumerating at Python speed just to re-find a path
+    # the native engine already found but could not emit is the slowest
+    # possible outcome. Beyond the retried buffer (~8M steps) the
+    # "path" is a degenerate incumbent nobody can consume — emit none.
+    for cap in (1 << 20, 1 << 24):
+        out = np.zeros(cap, dtype=np.int32)
+        res = fn(
+            ctypes.c_int(n),
+            ptr(adj_off),
+            ptr(adj_flat),
+            ptr(np.ascontiguousarray(pat)),
+            ptr(np.ascontiguousarray(loop)),
+            ctypes.c_int(len(keys)),
+            ptr(inv_key),
+            ptr(inv_src),
+            ptr(inv_tgt),
+            ctypes.c_int(1 if is_reversed else 0),
+            ctypes.c_longlong(max_replays),
+            ptr(out),
+            ctypes.c_int(cap),
+        )
+        if res >= 0:
+            return [(int(out[2 * k]), int(out[2 * k + 1])) for k in range(res)]
+    return []

@@ -306,7 +306,9 @@ def bench_batch(n_cases=16):
         t0 = time.perf_counter()
         batch_res = run_bfb_many(lh_paths, solver="device")
         batch_secs = time.perf_counter() - t0
-        batch_ok = sum(1 for r in batch_res if r.path_strings)
+        # a chromosome whose solution could not be replayed within the
+        # order budget yields an empty path string — not solved
+        batch_ok = sum(1 for r in batch_res if any(s for s in r.path_strings))
         batch_eps = round(sum(r.ilp_error for r in batch_res), 2)
 
         # serial leg: per-case exact solve at a 15 s/case budget (an
@@ -323,7 +325,7 @@ def bench_batch(n_cases=16):
                 for pr in progs
             ]
             r = run_bfb(p, solver="exact", presolved=presolved)
-            serial_ok += bool(r.path_strings)
+            serial_ok += bool(any(s for s in r.path_strings))
             serial_eps += r.ilp_error
         serial_secs = time.perf_counter() - t0
         serial_eps = round(serial_eps, 2)

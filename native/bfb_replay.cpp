@@ -43,6 +43,16 @@ struct Ctx {
     bool is_reversed;
     long long max_replays;
     long long replays_done;
+    // work budget: replay cost is NOT uniform per order — a loop's
+    // splice writes 4*cn entries and shifts the tail of the breakpoint
+    // vector, so a solution with large copy numbers makes each replay
+    // arbitrarily expensive (observed: one budgeted-by-count pass burnt
+    // 10+ CPU-minutes on a noisy heuristic incumbent). work_done
+    // accumulates shifted+written entries; the budget bounds actual
+    // time, the replay count alone does not.
+    long long max_work;
+    long long work_done;
+    long long path_cap;  // abort an order whose path exceeds the out buffer
 };
 
 const Inversion *find_inv(const Ctx &c, int seg) {
@@ -137,7 +147,7 @@ void imperfect_fbi(const Ctx &c, std::vector<V> &p) {
 // -------------------------------------------------------------- replay
 
 // replay one order; returns true on success with bkp filled
-bool replay_order(const Ctx &c, const std::vector<int> &order, bool forward,
+bool replay_order(Ctx &c, const std::vector<int> &order, bool forward,
                   std::vector<V> &bkp) {
     bkp.clear();
     int first = order[0];
@@ -240,11 +250,20 @@ bool replay_order(const Ctx &c, const std::vector<int> &order, bool forward,
                 bkp[k] = V{e, +1};
                 if (k + 1 < (long long)bkp.size()) bkp[k + 1] = V{e, -1};
             }
+            // charge the real cost of the splice (piece write + tail
+            // shift) and abort orders whose path outgrows the output
+            // buffer — they could never be emitted anyway
+            c.work_done += (long long)piece.size() +
+                           ((long long)bkp.size() - (k + 1));
+            if ((long long)(bkp.size() + piece.size()) > c.path_cap)
+                return false;
             bkp.insert(bkp.begin() + k + 1, piece.begin(), piece.end());
         }
     }
+    c.work_done += (long long)bkp.size() + (long long)order.size();
+    if (i != order.size()) return false;  // failed order: bkp is discarded
     imperfect_fbi(c, bkp);
-    return i == order.size();
+    return true;
 }
 
 // ----------------------------------------------- lazy order enumeration
@@ -270,13 +289,22 @@ struct Enumerator {
 
     // returns true when a complete replay succeeded (stored in out)
     bool rec(Ctx &ctx) {
+        // charge enumeration work per visited partial order so graphs
+        // that are expensive to scan (huge dead-end subtrees) stay
+        // inside the budget even when no order ever completes
+        ctx.work_done++;
+        if (ctx.max_work > 0 && ctx.work_done >= ctx.max_work) {
+            done = true;
+            return false;
+        }
         if ((int)res.size() == c.n_nodes) {
             ctx.replays_done++;
-            if (replay_order(c, res, forward, bkp)) {
+            if (replay_order(ctx, res, forward, bkp)) {
                 out = bkp;
                 return true;
             }
-            if (ctx.max_replays > 0 && ctx.replays_done >= ctx.max_replays)
+            if ((ctx.max_replays > 0 && ctx.replays_done >= ctx.max_replays) ||
+                (ctx.max_work > 0 && ctx.work_done >= ctx.max_work))
                 done = true;
             return false;
         }
@@ -313,14 +341,49 @@ int bfb_replay(int n_nodes, const int *adj_off, const int *adj_flat,
     if (n_nodes <= 0) return 0;
     std::vector<Inversion> invs(n_inv);
     for (int k = 0; k < n_inv; k++) invs[k] = Inversion{inv_src[k], inv_tgt[k]};
+    // work budget: ~64 vector entries of splice traffic per budgeted
+    // replay on a typical path; bounds wall time even when individual
+    // replays are huge (large-CN incumbents)
+    long long max_work = max_replays > 0 ? max_replays * 64 : 0;
     Ctx c{n_nodes, adj_off,  adj_flat,   node_pat,
           node_loop, n_inv,  inv_key,    invs.data(),
-          is_reversed != 0,  max_replays, 0};
+          is_reversed != 0,  max_replays, 0,
+          max_work, 0, (long long)out_cap};
+
+    // Kahn's check: the "DAG" construction inherits the reference's
+    // shared-parent edge rule (LGM.cpp:3353-3361), which is NOT
+    // span-monotone and can emit a cyclic graph on some solved CN
+    // vectors (observed on a noisy S=32 heuristic incumbent). A cyclic
+    // graph has ZERO topological orders, so the enumeration provably
+    // finds nothing — the reference would discover that only after a
+    // factorial dead-end scan; answering "no path" immediately is the
+    // same result without the hang.
+    {
+        std::vector<int> indeg(n_nodes, 0), q;
+        for (int i = 0; i < n_nodes; i++)
+            for (int e = adj_off[i]; e < adj_off[i + 1]; e++) indeg[adj_flat[e]]++;
+        for (int i = 0; i < n_nodes; i++)
+            if (indeg[i] == 0) q.push_back(i);
+        int seen = 0;
+        for (size_t h = 0; h < q.size(); h++) {
+            int u = q[h];
+            seen++;
+            for (int e = adj_off[u]; e < adj_off[u + 1]; e++)
+                if (--indeg[adj_flat[e]] == 0) q.push_back(adj_flat[e]);
+        }
+        if (seen != n_nodes) return 0;
+    }
 
     Enumerator en(c);
     bool found = en.rec(c);
-    if (!found && !en.done) {
-        // retry in the reverse orientation (LGM.cpp:3691-3695)
+    if (!found) {
+        // retry in the reverse orientation (LGM.cpp:3691-3695), with a
+        // fresh replay budget: a budget-exhausted forward pass must not
+        // silently skip the reverse pass (the reverse orientation often
+        // succeeds immediately when the forward one cannot at all)
+        c.replays_done = 0;
+        c.work_done = 0;
+        en.done = false;
         en.forward = c.is_reversed;
         found = en.rec(c);
     }

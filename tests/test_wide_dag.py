@@ -152,3 +152,43 @@ def test_print_all_deep_chain_matches_list_engine():
     get_bfb(g, orders, n2p, n2l, {}, print_all=True, out=out_list)
     assert out_lazy.getvalue() == out_list.getvalue()
     assert out_lazy.getvalue()  # at least one printed path
+
+
+def test_cyclic_graph_returns_no_path_fast():
+    """The shared-parent edge rule (LGM.cpp:3353-3361) is not
+    span-monotone, so some solved CN vectors yield a CYCLIC graph.
+    Zero topological orders exist, so the only correct outcome is
+    "no path" — and it must arrive in milliseconds, not after the
+    factorial dead-end scan the reference would perform (observed: a
+    noisy S=32 heuristic incumbent burnt 30+ CPU-minutes pre-guard).
+    Both engines (native C and the Python fallback) are guarded."""
+    g = Genome()
+    for i in range(1, 7):
+        g.add_segment(i, 0, "w", i * 1000, i * 1000 + 999, 30.0, 1.0, 1.0)
+    # hand-built 3-cycle plus a free root: Kahn consumes only node 0
+    adj = [[1], [2], [3], [1]]
+    n2p = [[1, 6, 1], [], [1, 3, 1], []]
+    n2l = [[], [2, 5, 1], [], [3, 4, 1]]
+    t0 = time.perf_counter()
+    path = replay_bfb(g, adj, n2p, n2l, {})
+    assert path == []
+    assert time.perf_counter() - t0 < 5.0
+    # native engine agrees (when a toolchain is present)
+    from ambigram_tpu.native import native_bfb_replay
+
+    steps = native_bfb_replay(adj, n2p, n2l, {})
+    assert steps in (None, [])
+
+
+def test_enumeration_work_budget_bounds_dead_end_scan(monkeypatch):
+    """Even without a cycle, a graph whose orders all fail to replay
+    must stay inside the work budget: AMBIGRAM_MAX_REPLAYS bounds the
+    native scan (count + derived splice-work), so the call returns
+    empty instead of grinding through the factorial tail."""
+    g, adj, n2p, n2l = _wide(n=24, fam=9)  # C(18,9) = 48620 orders
+    from ambigram_tpu.native import native_bfb_replay
+
+    t0 = time.perf_counter()
+    steps = native_bfb_replay(adj, n2p, n2l, {}, max_replays=50)
+    assert steps in (None, [])
+    assert time.perf_counter() - t0 < 5.0
