@@ -144,6 +144,20 @@ def _solve(
     from ambigram_tpu.solver.search import solve_device
 
     res = solve_device(prog, lns_budget=lns_budget, device=device)
+    return _auto_post(prog, res, candidates)
+
+
+def _auto_post(prog: BfbProgram, res, candidates: Optional[list] = None):
+    """Auto mode's host tail after a device search result `res`:
+    warm-started native B&B polish (skipped where measured useless),
+    last-resort exact MILP when nothing feasible exists, best-feasible
+    selection. Shared by `_solve` and the batched device path
+    (`solve_programs_batch` over `solve_device_batch` results)."""
+    from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
+    from ambigram_tpu.solver.native_bnb import solve_native
+    from ambigram_tpu.utils.profiling import GLOBAL
+
+    candidates = list(candidates or [])
     if res.status == "optimal":
         return res
     candidates.append(res)
@@ -316,20 +330,9 @@ def run_bfb(
                 )
             )
             continue
-        result.ilp_error += sol.objective
         element_cn = sol.x
-
-        # target CN accumulation (localhap.cpp:222-232)
         pairs = prog.pairs
         T = len(pairs)
-        for t in range(T):
-            i1, i2 = int(pairs[t][0]), int(pairs[t][1])
-            if element_cn[t] > 0:
-                for k in range(i1 - 1, i2):
-                    result.target_cn[k] += int(element_cn[t])
-            if element_cn[T + t] > 0:
-                for k in range(i1 - 1, i2):
-                    result.target_cn[k] += int(element_cn[T + t]) * 2
         entries = sorted_key_order(pairs)
         with GLOBAL.phase("replay"):
             adj, node2pat, node2loop = construct_dag(entries, element_cn)
@@ -343,6 +346,50 @@ def run_bfb(
                 print_all=print_all,
                 out=out,
             )
+        if not path and np.any(element_cn > 0):
+            # the solution exists but no topological order of its
+            # structure replays (cyclic graph from the shared-parent
+            # rule, or an exhausted order budget). Solutions are
+            # usually non-unique at equal objective — a budgeted exact
+            # re-solve often lands on a different, REPLAYABLE vertex of
+            # the optimal face, turning a no-path case into a solved
+            # one. The reference has no such retry (it just prints
+            # nothing, localhap.cpp:261); goldens are unaffected
+            # because their first solution replays.
+            from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
+
+            if have_exact_solver():
+                with GLOBAL.phase("solve"):
+                    alt = solve_exact(prog, time_limit=10.0)
+                ok = alt.status in ("optimal", "heuristic") and float(
+                    prog.hard_violation(alt.x.astype(np.float64))
+                ) == 0.0
+                if ok and not np.array_equal(alt.x, element_cn):
+                    with GLOBAL.phase("replay"):
+                        adj2, n2p2, n2l2 = construct_dag(entries, alt.x)
+                        path2: VertexPath = replay_bfb(
+                            g,
+                            adj2,
+                            n2p2,
+                            n2l2,
+                            inversions,
+                            is_reversed=is_reversed,
+                            print_all=print_all,
+                            out=out,
+                        )
+                    if path2:
+                        sol, element_cn, path = alt, alt.x, path2
+        result.ilp_error += sol.objective
+
+        # target CN accumulation (localhap.cpp:222-232)
+        for t in range(T):
+            i1, i2 = int(pairs[t][0]), int(pairs[t][1])
+            if element_cn[t] > 0:
+                for k in range(i1 - 1, i2):
+                    result.target_cn[k] += int(element_cn[t])
+            if element_cn[T + t] > 0:
+                for k in range(i1 - 1, i2):
+                    result.target_cn[k] += int(element_cn[T + t]) * 2
         indel_bfb(g, path, start_id, end_id, out=out)
         if props.ins_mode == 1 or props.con_mode == 1:
             from ambigram_tpu.engine.trx import virus_bfb
@@ -653,38 +700,72 @@ def solve_programs_batch(
         workers = min(4, len(big)) if big else 0
         per_case_lns = _per_case_lns_budget(len(big), max(workers, 1))
 
-        # thread pool: cases are independent, and each one
-        # alternates host work (LP seeding, LNS MILPs — HiGHS
-        # releases the GIL) with device work (the search — jax
-        # dispatch releases the GIL), so threading overlaps case
-        # i's polish with case j's search even on one chip.
-        # Results are per-case deterministic regardless of
-        # interleaving (fixed per-case seeds).
-        def _solve_big(item):
-            k, (key, prog) = item
-            dev = devices[k % len(devices)]
-            if solver == "auto":
-                return key, _solve(
-                    prog, "auto", lns_budget=per_case_lns, device=dev
-                )
-            return key, solve_device(
-                prog, device=dev, lns_budget=per_case_lns
+        if len(devices) == 1 and len(big) > 1:
+            # ONE chip: per-case searches would queue on it (measured:
+            # thread-summed search time ~4x the per-case cost on a 16
+            # mixed-size batch). Case-stack same-shape groups into one
+            # device program each (solve_device_batch) — one compile,
+            # one transfer, G*pop-row matmuls — then finish auto's host
+            # tail per case on a thread pool.
+            from ambigram_tpu.solver.search import solve_device_batch
+
+            big_progs = [prog for _, prog in big]
+            batch_res = solve_device_batch(
+                big_progs, device=devices[0], lns_budget=per_case_lns
             )
 
-        with ThreadPoolExecutor(
-            max_workers=max(workers, 1) + (1 if rest else 0)
-        ) as pool:
-            stack_fut = (
-                pool.submit(_solve_stacked, rest, solver, mesh)
-                if rest
-                else None
-            )
-            if big:
-                for key, sol in pool.map(_solve_big, enumerate(big)):
+            def _post_big(item):
+                (key, prog), res = item
+                if solver == "auto":
+                    return key, _auto_post(prog, res)
+                return key, res
+
+            with ThreadPoolExecutor(
+                max_workers=max(workers, 1) + (1 if rest else 0)
+            ) as pool:
+                stack_fut = (
+                    pool.submit(_solve_stacked, rest, solver, mesh)
+                    if rest
+                    else None
+                )
+                for key, sol in pool.map(_post_big, zip(big, batch_res)):
                     solutions[key] = sol
-            if stack_fut is not None:
-                solutions.update(stack_fut.result())
-        flat, index = [], []
+                if stack_fut is not None:
+                    solutions.update(stack_fut.result())
+            flat, index = [], []
+        else:
+            # thread pool: cases are independent, and each one
+            # alternates host work (LP seeding, LNS MILPs — HiGHS
+            # releases the GIL) with device work (the search — jax
+            # dispatch releases the GIL), so threading overlaps case
+            # i's polish with case j's search even on one chip.
+            # Results are per-case deterministic regardless of
+            # interleaving (fixed per-case seeds).
+            def _solve_big(item):
+                k, (key, prog) = item
+                dev = devices[k % len(devices)]
+                if solver == "auto":
+                    return key, _solve(
+                        prog, "auto", lns_budget=per_case_lns, device=dev
+                    )
+                return key, solve_device(
+                    prog, device=dev, lns_budget=per_case_lns
+                )
+
+            with ThreadPoolExecutor(
+                max_workers=max(workers, 1) + (1 if rest else 0)
+            ) as pool:
+                stack_fut = (
+                    pool.submit(_solve_stacked, rest, solver, mesh)
+                    if rest
+                    else None
+                )
+                if big:
+                    for key, sol in pool.map(_solve_big, enumerate(big)):
+                        solutions[key] = sol
+                if stack_fut is not None:
+                    solutions.update(stack_fut.result())
+            flat, index = [], []
     if flat:
         from ambigram_tpu.solver.exact import solve_exact
 

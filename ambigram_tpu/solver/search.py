@@ -484,8 +484,7 @@ def _descend_loop(
     return X, hx, scores, it, n_mv, n_m3
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _search(
+def _search_impl(
     st: ScoringTensors,
     X: jnp.ndarray,
     key: jnp.ndarray,
@@ -504,7 +503,11 @@ def _search(
     improving the global best — with the triple-move neighborhood the
     search usually lands on the optimum in the first rounds, and the LP
     bound is too weak there to signal it via `target` (measured on the
-    noisy S=48 suite: optimum found, then 3-4 pure-waste rounds)."""
+    noisy S=48 suite: optimum found, then 3-4 pure-waste rounds).
+
+    Unjitted implementation: `_search` jits it for the per-case path;
+    `solve_device_batch` jits `vmap(_search_impl)` over case-stacked
+    tensors (one device program for a whole same-shape group)."""
     B, Vp = X.shape
     hx = jnp.matmul(X, st.H.T, preferred_element_type=jnp.float32)
     scores = _score_from_hx(st, hx)
@@ -593,8 +596,170 @@ def _search(
     return best_x, best_s, (sweeps[0], sweeps[1], sweeps[2])
 
 
-def _seed_population(prog: BfbProgram, st: ScoringTensors, pop: int, seed: int) -> jnp.ndarray:
-    Vp = st.H.shape[1]
+_search = functools.partial(jax.jit, static_argnames=("chunk",))(_search_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _batch_search(
+    st: ScoringTensors,  # leading case axis G on every tensor leaf
+    X: jnp.ndarray,  # [G, B, Vp]
+    keys: jnp.ndarray,  # [G] PRNGKeys
+    moves: Tuple[jnp.ndarray, jnp.ndarray],  # shared across the group
+    moves3,
+    rounds: int = 6,
+    max_sweeps: int = 256,
+    chunk: int = 128,
+    targets: jnp.ndarray = None,  # [G]
+    patience: int = 2,
+):
+    """`_search_impl` over a case-stacked group in ONE device program.
+
+    Per-population-member sweeps vectorize over cases trivially (a
+    member only interacts with its own case's tensors), so tier-1
+    sweeps are `vmap`ped. The expensive tiers are gated on BATCH-GLOBAL
+    stalls with scalar `lax.cond` — a batched (per-case) cond would
+    lower to running both branches every iteration, destroying the
+    tiered economy. Semantics: tier 2/3 fire when NO case improved at
+    the tier below this iteration; converged cases ride along with
+    no-op sweeps (their state cannot regress — accepts are
+    strictly-improving and the per-case best is folded after each
+    round). Wall-clock is the slowest case's schedule; the payoff is
+    one compile, one tensor transfer, and G*B-row matmuls instead of G
+    queued B-row programs on one chip."""
+    G, B, Vp = X.shape
+    sweep1 = jax.vmap(
+        functools.partial(_sweep_delta, chunk=chunk), in_axes=(0, 0, 0, 0)
+    )
+    sweep2 = jax.vmap(
+        functools.partial(_sweep_moves, chunk=chunk),
+        in_axes=(0, 0, 0, 0, None, None),
+    )
+    sweep3 = jax.vmap(
+        functools.partial(_sweep_moves3, chunk=chunk),
+        in_axes=(0, 0, 0, 0, None, None, None, None, None),
+    )
+    hx = jnp.einsum(
+        "gbv,grv->gbr", X, st.H, preferred_element_type=jnp.float32
+    )
+    scores = jax.vmap(_score_from_hx)(st, hx)
+
+    def descend(X, hx, scores):
+        def cond(state):
+            _, _, _, improved, it, _, _ = state
+            return jnp.logical_and(improved, it < max_sweeps)
+
+        def body(state):
+            X, hx, scores, _, it, n_mv, n_m3 = state
+            X, hx, scores, imp1 = sweep1(st, X, hx, scores)
+            all1 = jnp.all(imp1)
+
+            def with2(args):
+                X, hx, scores = args
+                X, hx, scores, imp2 = sweep2(
+                    st, X, hx, scores, moves[0], moves[1]
+                )
+                return X, hx, scores, jnp.any(imp2)
+
+            def skip(args):
+                X, hx, scores = args
+                return X, hx, scores, jnp.bool_(False)
+
+            # tier 2 fires when ANY case stalled at tier 1 — it is only
+            # a few times tier 1's cost, and a per-case cadence match
+            # matters for quality (accepts are strictly improving, so
+            # running it on still-descending cases cannot hurt them)
+            X, hx, scores, any2 = jax.lax.cond(all1, skip, with2, (X, hx, scores))
+            n_mv = n_mv + jnp.where(all1, 0, 1)
+
+            def with3(args):
+                X, hx, scores = args
+                X, hx, scores, imp3 = sweep3(st, X, hx, scores, *moves3)
+                return X, hx, scores, jnp.any(imp3)
+
+            # tier 3 (the ~100x-cost triple sweep) only on a FULL stall
+            stalled12 = jnp.logical_not(
+                jnp.logical_or(jnp.any(imp1), any2)
+            )
+            X, hx, scores, any3 = jax.lax.cond(
+                stalled12, with3, skip, (X, hx, scores)
+            )
+            n_m3 = n_m3 + jnp.where(stalled12, 1, 0)
+            improved = jnp.logical_or(
+                jnp.any(imp1), jnp.logical_or(any2, any3)
+            )
+            return X, hx, scores, improved, it + 1, n_mv, n_m3
+
+        X, hx, scores, _, it, n_mv, n_m3 = jax.lax.while_loop(
+            cond,
+            body,
+            (X, hx, scores, jnp.bool_(True), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        )
+        return X, hx, scores, it, n_mv, n_m3
+
+    best_x = X[:, 0]
+    best_s = scores[:, 0]
+    tgt = jnp.maximum(targets, 0.0)
+
+    def rounds_cond(state):
+        _, _, _, _, best_s, _, _, r, stagnant = state
+        active = jnp.logical_and(best_s > tgt, stagnant <= patience)
+        return jnp.logical_and(r < rounds, jnp.any(active))
+
+    def rounds_body(state):
+        X, hx, scores, best_x, best_s, keys, sweeps, r, stagnant = state
+        prev_best = best_s
+        X, hx, scores, n_d, n_m, n_3 = descend(X, hx, scores)
+        sweeps = (sweeps[0] + n_d, sweeps[1] + n_m, sweeps[2] + n_3)
+        idx = jnp.argmin(scores, axis=1)  # [G]
+        round_best = jnp.take_along_axis(scores, idx[:, None], axis=1)[:, 0]
+        take = round_best < best_s
+        picked = X[jnp.arange(X.shape[0]), idx]  # [G, Vp]
+        best_x = jnp.where(take[:, None], picked, best_x)
+        best_s = jnp.where(take, round_best, best_s)
+
+        def kick_case(key, X, best_x, x_ub):
+            key, k1, k2 = jax.random.split(key, 3)
+            n_kicks = 4
+            Vp = X.shape[1]
+            vars_ = jax.random.randint(k1, (X.shape[0], n_kicks), 0, Vp)
+            signs = jax.random.choice(
+                k2, jnp.array([-2.0, -1.0, 1.0, 2.0]), shape=(X.shape[0], n_kicks)
+            )
+            kick = jnp.zeros_like(X)
+            kick = jax.vmap(lambda k, v, s: k.at[v].add(s))(kick, vars_, signs)
+            kick = kick.at[0].set(0.0)
+            from_best = (jnp.arange(X.shape[0]) % 2 == 0)[:, None]
+            base = jnp.where(from_best, best_x[None, :], X)
+            return key, jnp.clip(base + kick, 0.0, x_ub)
+
+        keys, X = jax.vmap(kick_case)(keys, X, best_x, st.x_ub)
+        hx = jnp.einsum(
+            "gbv,grv->gbr", X, st.H, preferred_element_type=jnp.float32
+        )
+        scores = jax.vmap(_score_from_hx)(st, hx)
+        stagnant = jnp.where(best_s < prev_best - 1e-6, 0, stagnant + 1)
+        return X, hx, scores, best_x, best_s, keys, sweeps, r + 1, stagnant
+
+    sweeps0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    X, hx, scores, best_x, best_s, _, sweeps, _, _ = jax.lax.while_loop(
+        rounds_cond,
+        rounds_body,
+        (
+            X,
+            hx,
+            scores,
+            best_x,
+            best_s,
+            keys,
+            sweeps0,
+            jnp.int32(0),
+            jnp.zeros((G,), jnp.int32),
+        ),
+    )
+    return best_x, best_s, sweeps
+
+
+def _seed_population(prog: BfbProgram, Vp: int, x_ub: np.ndarray, pop: int, seed: int) -> np.ndarray:
     T = len(prog.pairs)
     K = prog.num_vars // (2 * T) if T else 1  # clone blocks (engine/sc.py)
     X = np.zeros((pop, Vp), dtype=np.float32)
@@ -614,8 +779,7 @@ def _seed_population(prog: BfbProgram, st: ScoringTensors, pop: int, seed: int) 
             k = rng.integers(1, 4)
             idx = rng.integers(0, T, size=k)
             X[b, off + T + idx] = rng.integers(1, 3, size=k)
-    ub = np.asarray(st.x_ub)
-    return jnp.asarray(np.minimum(X, ub))
+    return np.minimum(X, np.asarray(x_ub, dtype=np.float32))
 
 
 def _pair_idx(prog: BfbProgram, i: int, j: int) -> int:
@@ -814,6 +978,83 @@ def _lp_solve(prog: BfbProgram):
     return res
 
 
+def _seed_case(
+    prog: BfbProgram, Vp: int, x_ub_np: np.ndarray, pop: int, seed: int
+):
+    """Full population seeding for one case: the fixed constructive
+    seeds (zero / root pattern / top loop / greedy peel), the LP
+    relaxation's roundings, and sparse random starts. Returns
+    (X0 [pop, Vp] float32, lp_lower_bound-or-None). Shared by
+    solve_device and solve_device_batch."""
+    X0 = np.array(_seed_population(prog, Vp, x_ub_np, pop, seed))
+
+    def place(slot: int, member: np.ndarray) -> None:
+        xi = np.zeros(Vp, dtype=np.float32)
+        xi[: prog.num_vars] = np.clip(member, 0, prog.x_ub)
+        X0[slot] = xi
+
+    # constructive seed: greedy loop/pattern peel of the CN profile
+    if pop > 3:
+        place(3, greedy_peel_seed(prog))
+    # LP-rounding seeds: the relaxation is cheap on host and its
+    # roundings cluster around the integer optimum
+    lb, x_frac = lp_relaxation(prog)
+    if x_frac is not None and pop > 5:
+        place(4, np.round(x_frac))
+        place(5, np.floor(x_frac))
+        # a few randomized roundings populate the LP basin; the rest of
+        # the population stays random for basin diversity
+        rr = np.random.default_rng(seed + 1)
+        frac = x_frac - np.floor(x_frac)
+        for slot in range(6, min(pop, 10)):
+            place(slot, np.floor(x_frac) + (rr.random(len(x_frac)) < frac))
+    return X0, lb
+
+
+_MOVES_CACHE: dict = {}
+_MOVES_LOCK = None
+
+
+def _device_moves(prog: BfbProgram, move_key, device):
+    """Move catalogues, cached host-side by (start, end, num_vars) and
+    device-side by (key, device). Suites of same-interval cases rebuild
+    identical catalogues per case otherwise — the O(n^3) host build
+    plus a ~4MB host->device transfer each, which is pure overhead on
+    the relay backend. Thread-safe: batch callers run solve_device on
+    thread pools."""
+    global _MOVES_LOCK
+    import threading
+
+    if _MOVES_LOCK is None:
+        _MOVES_LOCK = threading.Lock()
+    with _MOVES_LOCK:
+        host = _MOVES_CACHE.get(("host", move_key))
+        if host is None:
+            mv_minus, mv_plus = slide_transfer_moves(prog)
+            m3 = split_merge_moves(prog)
+            host = (mv_minus, mv_plus, m3)
+            _MOVES_CACHE[("host", move_key)] = host
+            if len(_MOVES_CACHE) > 64:  # bound memory on long case streams
+                _MOVES_CACHE.pop(next(iter(_MOVES_CACHE)))
+        mv_minus, mv_plus, m3 = host
+        dev_key = (move_key, None if device is None else device.id)
+        dev = _MOVES_CACHE.get(("dev", dev_key))
+        if dev is None:
+            if device is not None:
+                moves = (
+                    jax.device_put(jnp.asarray(mv_minus), device),
+                    jax.device_put(jnp.asarray(mv_plus), device),
+                )
+                moves3 = tuple(jax.device_put(jnp.asarray(a), device) for a in m3)
+            else:
+                moves = (jnp.asarray(mv_minus), jnp.asarray(mv_plus))
+                moves3 = tuple(jnp.asarray(a) for a in m3)
+            dev = (moves, moves3)
+            _MOVES_CACHE[("dev", dev_key)] = dev
+        moves, moves3 = dev
+    return moves, moves3, (mv_minus, m3)
+
+
 def solve_device(
     prog: BfbProgram,
     pop: Optional[int] = None,
@@ -857,42 +1098,18 @@ def solve_device(
         st = scoring_tensors(prog)
         if device is not None:
             st = jax.device_put(st, device)
-    X0 = np.array(_seed_population(prog, st, pop, seed))  # writable copy
     Vp = st.H.shape[1]
-
-    def place(slot: int, member: np.ndarray) -> None:
-        xi = np.zeros(Vp, dtype=np.float32)
-        xi[: prog.num_vars] = np.clip(member, 0, prog.x_ub)
-        X0[slot] = xi
-
-    # constructive seed: greedy loop/pattern peel of the CN profile
-    if pop > 3:
-        place(3, greedy_peel_seed(prog))
-    # LP-rounding seeds: the relaxation is cheap on host and its
-    # roundings cluster around the integer optimum
+    move_key = (prog.start, prog.end, prog.num_vars)
+    x_ub_np = np.zeros(Vp, dtype=np.float32)
+    x_ub_np[: prog.num_vars] = prog.x_ub
     with GLOBAL.phase("solve.lp_bound"):
-        lb, x_frac = lp_relaxation(prog)
-    if x_frac is not None and pop > 5:
-        place(4, np.round(x_frac))
-        place(5, np.floor(x_frac))
-        # a few randomized roundings populate the LP basin; the rest of
-        # the population stays random for basin diversity
-        rr = np.random.default_rng(seed + 1)
-        frac = x_frac - np.floor(x_frac)
-        for slot in range(6, min(pop, 10)):
-            place(slot, np.floor(x_frac) + (rr.random(len(x_frac)) < frac))
+        X0, lb = _seed_case(prog, Vp, x_ub_np, pop, seed)
     key = jax.random.PRNGKey(seed)
-    mv_minus, mv_plus = slide_transfer_moves(prog)
-    m3 = split_merge_moves(prog)
+    moves, moves3, (mv_minus, m3) = _device_moves(prog, move_key, device)
     if device is not None:
-        moves = (jax.device_put(jnp.asarray(mv_minus), device),
-                 jax.device_put(jnp.asarray(mv_plus), device))
-        moves3 = tuple(jax.device_put(jnp.asarray(a), device) for a in m3)
         X0j = jax.device_put(jnp.asarray(X0), device)
         key = jax.device_put(key, device)
     else:
-        moves = (jnp.asarray(mv_minus), jnp.asarray(mv_plus))
-        moves3 = tuple(jnp.asarray(a) for a in m3)
         X0j = jnp.asarray(X0)
     target = certified_bound(prog, lb) if (certify and lb is not None) else 0.0
     with GLOBAL.phase("score"):
@@ -919,6 +1136,26 @@ def solve_device(
         float(pop) * (n_d * 2.0 * Vp + n_m * M + n_3 * M3),
     )
     GLOBAL.count("solve.device_calls")
+    return _finish_solution(
+        prog, x, lb, certify=certify, polish=polish, lns_budget=lns_budget
+    )
+
+
+def _finish_solution(
+    prog: BfbProgram,
+    x: np.ndarray,
+    lb: Optional[float],
+    certify: bool = True,
+    polish: bool = True,
+    lns_budget: Optional[float] = None,
+) -> SolveResult:
+    """Host-side tail shared by solve_device and solve_device_batch:
+    measure the incumbent, probe-then-escalate the LNS polish when it
+    falls short of the certificate, certify, wrap."""
+    import os
+
+    from ambigram_tpu.utils.profiling import GLOBAL
+
     x_int = np.round(x).astype(np.int64)
     eps_sum = float(prog.residual_objective(x_int.astype(np.float64)))
     violation = float(prog.hard_violation(x_int.astype(np.float64)))
@@ -989,3 +1226,148 @@ def solve_device(
         objective=eps_sum - prog.bias,
         status=status,
     )
+
+
+def solve_device_batch(
+    progs,
+    seed: int = 0,
+    pop: Optional[int] = None,
+    rounds: Optional[int] = None,
+    max_sweeps: Optional[int] = None,
+    certify: bool = True,
+    device=None,
+    polish: bool = True,
+    lns_budget: Optional[float] = None,
+    post_workers: int = 4,
+):
+    """Solve a list of fitting programs with the FULL tiered search in
+    as few device programs as possible: programs sharing one
+    (start, end, num_vars) interval and one padded tensor shape are
+    case-stacked (parallel.mesh.stack_cases) and searched by
+    `_batch_search` in ONE jit call — one compile, one transfer, and
+    G*pop-row matmuls instead of G searches queuing on one chip (the
+    measured failure mode of the threaded per-case batch:
+    thread-summed `score` time ~4x the per-case cost). Groups are
+    padded to power-of-two sizes (repeating the last program) so a
+    stream of batches reuses a handful of compiled shapes.
+
+    Host-side seeding (LP relaxations) runs on a thread pool before
+    the device call; the probe/escalate LNS polish per case runs on a
+    thread pool after it. Singleton groups fall back to solve_device.
+    Returns [SolveResult] aligned with `progs`."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ambigram_tpu.parallel.mesh import stack_cases
+    from ambigram_tpu.utils.profiling import GLOBAL
+
+    if pop is None:
+        pop = int(os.environ.get("AMBIGRAM_SEARCH_POP", 32))
+    if rounds is None:
+        rounds = int(os.environ.get("AMBIGRAM_SEARCH_ROUNDS", 6))
+    if max_sweeps is None:
+        max_sweeps = int(os.environ.get("AMBIGRAM_SEARCH_SWEEPS", 256))
+    patience = int(os.environ.get("AMBIGRAM_SEARCH_PATIENCE", 2))
+
+    groups: dict = {}
+    for i, prog in enumerate(progs):
+        groups.setdefault((prog.start, prog.end, prog.num_vars), []).append(i)
+
+    results: list = [None] * len(progs)
+    for key, idxs in groups.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            results[i] = solve_device(
+                progs[i],
+                pop=pop,
+                seed=seed + i,
+                rounds=rounds,
+                max_sweeps=max_sweeps,
+                certify=certify,
+                device=device,
+                polish=polish,
+                lns_budget=lns_budget,
+            )
+            continue
+        group = [progs[i] for i in idxs]
+        G = len(group)
+        # pad the group to a power of two (repeat the last program) so
+        # varying batch sizes reuse a handful of compiled shapes
+        Gp = 1
+        while Gp < G:
+            Gp *= 2
+        padded = group + [group[-1]] * (Gp - G)
+        with GLOBAL.phase("solve.tensors"):
+            st = stack_cases(padded)
+            if device is not None:
+                st = jax.device_put(st, device)
+        Vp = st.H.shape[-1]
+
+        # per-case seeding (LP relaxations dominate; they release the
+        # GIL inside HiGHS, so a small pool overlaps them)
+        def _seed_one(k):
+            prog = padded[k]
+            x_ub_np = np.zeros(Vp, dtype=np.float32)
+            x_ub_np[: prog.num_vars] = prog.x_ub
+            return _seed_case(prog, Vp, x_ub_np, pop, seed + idxs[min(k, G - 1)])
+
+        with GLOBAL.phase("solve.lp_bound"):
+            with ThreadPoolExecutor(max_workers=post_workers) as pool:
+                seeded = list(pool.map(_seed_one, range(Gp)))
+        X0 = np.stack([s[0] for s in seeded])  # [Gp, pop, Vp]
+        lbs = [s[1] for s in seeded]
+        targets = np.asarray(
+            [
+                max(float(certified_bound(p, lb)), 0.0)
+                if (certify and lb is not None)
+                else 0.0
+                for p, lb in zip(padded, lbs)
+            ],
+            dtype=np.float32,
+        )
+        keys = jnp.stack([jax.random.PRNGKey(seed + k) for k in range(Gp)])
+        moves, moves3, (mv_minus, m3) = _device_moves(padded[0], key, device)
+        X0j = jnp.asarray(X0)
+        targets_j = jnp.asarray(targets)
+        if device is not None:
+            X0j = jax.device_put(X0j, device)
+            targets_j = jax.device_put(targets_j, device)
+            keys = jax.device_put(keys, device)
+        with GLOBAL.phase("score"):
+            best_x, _, sweeps = _batch_search(
+                st,
+                X0j,
+                keys,
+                moves,
+                moves3,
+                rounds=rounds,
+                max_sweeps=max_sweeps,
+                targets=targets_j,
+                patience=patience,
+            )
+            best_np = np.asarray(best_x)  # blocks until the group is done
+        n_d, n_m, n_3 = (int(v) for v in sweeps)
+        M = mv_minus.shape[0]
+        M3 = m3[0].shape[0]
+        GLOBAL.count(
+            "candidates_scored",
+            float(Gp * pop) * (n_d * 2.0 * Vp + n_m * M + n_3 * M3),
+        )
+        GLOBAL.count("solve.device_calls")
+
+        def _finish_one(k):
+            i = idxs[k]
+            x = best_np[k, : progs[i].num_vars]
+            return i, _finish_solution(
+                progs[i],
+                x,
+                lbs[k],
+                certify=certify,
+                polish=polish,
+                lns_budget=lns_budget,
+            )
+
+        with ThreadPoolExecutor(max_workers=post_workers) as pool:
+            for i, res in pool.map(_finish_one, range(G)):
+                results[i] = res
+    return results

@@ -1,18 +1,22 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache — OPT-IN, and why.
 
 The device search compiles one program per (padded-vars, padded-rows)
-bucket; through the remote-compile relay a large-bucket compile costs
-12-60s. The persistent cache makes every bucket a one-time cost per
-machine instead of per process — the second `bfb` invocation or bench
-run reuses the serialized executable from disk.
+bucket (~10-25s cold per shape). JAX's persistent compilation cache
+would make that once-per-machine — and it mechanically works on the
+remote-compile relay ('axon') backend for small programs (a fresh
+process logs `Persistent compilation cache hit` and loads a toy matmul
+in ~60ms). But for SEARCH-SIZED programs the executable
+serialization/deserialization through the relay costs an order of
+magnitude more than the compile it saves — measured A/B on the same
+S=48 program, fresh process each, one v5e via the relay:
 
-Verified working on the relay ('axon') backend: a fresh process
-re-requesting an identical program logs `Persistent compilation cache
-hit` and loads the executable in ~60ms (the r3 note claiming the relay
-could not serialize executables was wrong). Every device entry point
-(solver.search.solve_device, parallel.mesh.solve_cases_sharded, the
-CLI) calls `enable_compilation_cache()`; set AMBIGRAM_NO_XLA_CACHE=1
-to opt out (e.g. when measuring cold-compile cost deliberately).
+    cache off:  first solve_device 25.1s  (includes the ~15s compile)
+    cache miss: first solve_device 232.2s (compile + executable write)
+    cache hit:  first solve_device 120.8s (executable load)
+
+so the default is OFF. Opt in with AMBIGRAM_XLA_CACHE=1 (or an
+explicit cache_dir) on backends with local compilation, where the
+cache behaves as designed.
 """
 
 from __future__ import annotations
@@ -23,13 +27,16 @@ _ENABLED = False
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
-    """Idempotently turn on JAX's persistent compilation cache."""
+    """Idempotently turn on JAX's persistent compilation cache.
+    No-op (returns "") unless AMBIGRAM_XLA_CACHE=1 is set or an
+    explicit cache_dir is passed — see the module docstring for the
+    measured reason."""
     global _ENABLED
     import jax
 
-    if os.environ.get("AMBIGRAM_NO_XLA_CACHE"):
-        return ""
     if cache_dir is None:
+        if not os.environ.get("AMBIGRAM_XLA_CACHE"):
+            return ""
         cache_dir = os.environ.get(
             "AMBIGRAM_XLA_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "ambigram_jax"),

@@ -209,15 +209,17 @@ def bench_suite(n_cases=4, n_segments=48):
     from ambigram_tpu.solver.search import solve_device
     from ambigram_tpu.utils.cache import enable_compilation_cache
 
-    cache_dir = enable_compilation_cache()  # verified working on the relay backend
+    # opt-in only: measured a net loss through the remote-compile relay
+    # (executable serialization costs more than the compile it saves —
+    # utils/cache.py module docstring has the A/B numbers)
+    cache_dir = enable_compilation_cache()
     progs = suite_programs(n_cases=n_cases, n_segments=n_segments)
 
     # one-time bucket compile, reported separately: every case in the
     # suite shares one padded shape, so this is the only compile any
     # mode pays (the relay's remote-compile latency is also highly
     # variable — 30-230s observed — and charging it to one mode would
-    # randomize the comparison). With the persistent cache this is a
-    # once-per-machine cost: a warm run loads the executable in <1s.
+    # randomize the comparison)
     t0 = time.perf_counter()
     solve_device(progs[0])
     compile_seconds = round(time.perf_counter() - t0, 1)

@@ -261,7 +261,9 @@ def test_sweep_delta_matches_sweep(seed):
     rng = np.random.default_rng(seed)
     prog = _random_prog(rng, int(rng.integers(5, 12)))
     st = scoring_tensors(prog)
-    X = jnp.asarray(_seed_population(prog, st, pop=8, seed=seed))
+    X = jnp.asarray(
+        _seed_population(prog, st.H.shape[1], np.asarray(st.x_ub), pop=8, seed=seed)
+    )
     hx = jnp.matmul(X, st.H.T, preferred_element_type=jnp.float32)
     from ambigram_tpu.solver.search import _score_from_hx
 
