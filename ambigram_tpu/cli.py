@@ -28,7 +28,32 @@ def build_parser() -> argparse.ArgumentParser:
         "(legacy balancer + traversal pipeline, reference "
         "localhap.cpp:24-30)",
     )
-    p.add_argument("--in_lh", required=True, help="Input .lh file (comma list for sc_bfb)")
+    p.add_argument(
+        "--in_lh",
+        required=True,
+        help="Input .lh file (comma list for sc_bfb), or a case MANIFEST "
+        "(see --manifest) driving the batched device pipeline over many "
+        "cases at once",
+    )
+    p.add_argument(
+        "--manifest",
+        action="store_true",
+        help="Treat --in_lh as a case manifest: one case per line, "
+        "whitespace-separated columns. Bulk line: <lh> [juncs=<path>]. "
+        "Single-cell line: sc:<a.lh,b.lh,...> [edges=<parent:child,...>]. "
+        "Blank lines and # comments are skipped; relative paths resolve "
+        "against the manifest's directory. All bulk cases are solved in "
+        "ONE device-sharded batch (run_bfb_many) and all sc samples in "
+        "another (run_sc_bfb_many) — the TPU-shaped replacement for "
+        "looping the reference binary per sample (localhap.cpp:111-265). "
+        "Files named *.manifest are detected automatically.",
+    )
+    p.add_argument(
+        "--result_store",
+        default="",
+        help="Directory of per-case result checkpoints (manifest mode): "
+        "completed cases are skipped on rerun, keyed by input content hash",
+    )
     p.add_argument("--lp_prefix", default="sample", help="ILP output file prefix")
     p.add_argument(
         "--juncdb",
@@ -113,7 +138,131 @@ def main(argv=None) -> int:
             print(GLOBAL.report(), file=sys.stderr)
 
 
+def parse_manifest(path: str):
+    """Parse a case manifest into (bulk, sc) work lists.
+
+    bulk: [{"lh": ..., "juncs": ...}]; sc: [{"lh_paths": ..., "edges": ...}].
+    Grammar per --manifest's help text. Raises ValueError with the line
+    number on malformed lines — a silently skipped case is a missing
+    result a user would misread as "no BFB found"."""
+    import os
+
+    base = os.path.dirname(os.path.abspath(path))
+
+    def resolve(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(base, p)
+
+    bulk, sc = [], []
+    with open(path) as f:
+        for lineno, raw in enumerate(f, 1):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            cols = line.split()
+            head, opts = cols[0], cols[1:]
+            kv = {}
+            for o in opts:
+                if "=" not in o:
+                    raise ValueError(
+                        "%s:%d: expected key=value column, got %r"
+                        % (path, lineno, o)
+                    )
+                k, v = o.split("=", 1)
+                kv[k] = v
+            if head.startswith("sc:"):
+                clones = ",".join(
+                    resolve(c) for c in head[3:].split(",") if c
+                )
+                if not clones:
+                    raise ValueError(
+                        "%s:%d: sc: line names no clone files" % (path, lineno)
+                    )
+                unknown = set(kv) - {"edges"}
+                if unknown:
+                    raise ValueError(
+                        "%s:%d: unknown sc options %s" % (path, lineno, sorted(unknown))
+                    )
+                sc.append({"lh_paths": clones, "edges": kv.get("edges", "")})
+            else:
+                unknown = set(kv) - {"juncs"}
+                if unknown:
+                    raise ValueError(
+                        "%s:%d: unknown options %s" % (path, lineno, sorted(unknown))
+                    )
+                bulk.append(
+                    {
+                        "lh": resolve(head),
+                        "juncs": resolve(kv["juncs"]) if kv.get("juncs") else "",
+                    }
+                )
+    return bulk, sc
+
+
+def _run_manifest(args) -> int:
+    from ambigram_tpu.engine.pipeline import run_bfb_many
+    from ambigram_tpu.engine.sc import run_sc_bfb_many
+
+    bulk, sc = parse_manifest(args.in_lh)
+    if not bulk and not sc:
+        print("error: manifest %s lists no cases" % args.in_lh, file=sys.stderr)
+        return 2
+    store = args.result_store or None
+    ledger_dir = None if args.no_ledgers else "."
+    n_done = 0
+    if bulk:
+        results = run_bfb_many(
+            [c["lh"] for c in bulk],
+            juncs_paths=[c["juncs"] for c in bulk],
+            juncs_info=_boolish(args.junc_info),
+            is_reversed=_boolish(args.is_reversed),
+            solver=args.solver,
+            out=sys.stdout,
+            result_store=store,
+            ledger_dir=ledger_dir,
+        )
+        for c, r in zip(bulk, results):
+            n_done += 1
+            print(
+                "## %s: %d path(s), ilp_error %.4f%s"
+                % (
+                    c["lh"],
+                    sum(1 for s in r.path_strings if s),
+                    r.ilp_error,
+                    "" if r.is_resolved else " [unresolved]",
+                ),
+                file=sys.stderr,
+            )
+    if sc:
+        results = run_sc_bfb_many(
+            sc,
+            juncs_info=_boolish(args.junc_info),
+            is_reversed=_boolish(args.is_reversed),
+            solver=args.solver,
+            out=sys.stdout,
+            result_store=store,
+            ledger_dir=ledger_dir,
+        )
+        for s, r in zip(sc, results):
+            n_done += 1
+            print(
+                "## sc:%s: %d clone path list(s)"
+                % (s["lh_paths"], len(r.path_strings)),
+                file=sys.stderr,
+            )
+    print("## manifest complete: %d case(s)" % n_done, file=sys.stderr)
+    return 0
+
+
 def _dispatch(args) -> int:
+    if args.manifest or args.in_lh.endswith(".manifest"):
+        if args.op != "bfb":
+            print(
+                "error: --manifest batches both bulk and sc cases; use "
+                "--op bfb (got --op %s)" % args.op,
+                file=sys.stderr,
+            )
+            return 2
+        return _run_manifest(args)
     if args.edges and args.op != "sc_bfb":
         # --edges silently doing nothing would let a user believe an
         # evolution DAG was applied when it was not

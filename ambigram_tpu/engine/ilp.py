@@ -111,8 +111,16 @@ class BfbProgram:
         return total
 
     def hard_violation(self, x: np.ndarray) -> np.ndarray:
-        """Total constraint violation; 0 means feasible."""
-        gx = x @ self.G.T
+        """Total constraint violation; 0 means feasible.
+
+        G is stored int8 (the memory-disciplined form); a mixed
+        int8 @ float64 matmul falls off BLAS onto numpy's slow loop
+        (measured ~1.9 s per call at S=48 — it dominated the whole LNS
+        probe), so lift G to float32 for the product. Exact: G entries
+        and x are small integers, every row value well below 2^24."""
+        gx = (x.astype(np.float32) @ self.G.T.astype(np.float32)).astype(
+            np.float64
+        )
         return np.maximum(gx - self.g_ub, 0).sum(axis=-1) + np.maximum(
             self.g_lb - gx, 0
         ).sum(axis=-1)

@@ -225,12 +225,23 @@ def replay_bfb(
     from ambigram_tpu.engine.dag import iter_topological_orders
 
     cap = int(os.environ.get("AMBIGRAM_MAX_ORDERS", "200000"))
+    drained = [0]  # counts per-pass enumerations to detect a bounded miss
 
     def make_orders():
         it = (o for o in iter_topological_orders(adj) if o)
-        return itertools.islice(it, cap) if cap else it
+        if not cap:
+            return it
 
-    return get_bfb_lazy(
+        def counted():
+            n = 0
+            for o in itertools.islice(it, cap):
+                n += 1
+                yield o
+            drained[0] = max(drained[0], n)
+
+        return counted()
+
+    path = get_bfb_lazy(
         g,
         make_orders,
         node2pat,
@@ -240,6 +251,15 @@ def replay_bfb(
         print_all=print_all,
         out=out,
     )
+    if not path and cap and drained[0] >= cap:
+        from ambigram_tpu.native import _warn_budget
+
+        _warn_budget(
+            "replay_bfb: order budget exhausted (AMBIGRAM_MAX_ORDERS=%d) "
+            "before any order replayed — 'no path' is bounded, not proven"
+            % cap
+        )
+    return path
 
 
 def get_bfb(

