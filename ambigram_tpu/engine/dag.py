@@ -224,6 +224,43 @@ def construct_dag(
     return adj, node2pat, node2loop
 
 
+def find_cycle(adj: List[List[int]]) -> List[int]:
+    """Nodes of ONE directed cycle (DFS back-edge trace), [] when the
+    graph is acyclic. The shared-parent edge rule (LGM.cpp:3353-3361)
+    is not span-monotone, so solved CN vectors can yield cyclic graphs
+    with zero topological orders; the replay-retry sweep
+    (engine.pipeline._retry_replay_on_face) cuts the returned node set
+    out of the next face solve."""
+    n = len(adj)
+    color = [0] * n  # 0 white, 1 on stack, 2 done
+    parent = [-1] * n
+    cycle: List[int] = []
+
+    def dfs(u: int) -> bool:
+        color[u] = 1
+        for v in adj[u]:
+            if color[v] == 1:
+                # back edge u -> v: walk the stack from u up to v
+                cyc = [u]
+                w = u
+                while w != v:
+                    w = parent[w]
+                    cyc.append(w)
+                cycle.extend(cyc)
+                return True
+            if color[v] == 0:
+                parent[v] = u
+                if dfs(v):
+                    return True
+        color[u] = 2
+        return False
+
+    for s in range(n):
+        if color[s] == 0 and dfs(s):
+            return cycle
+    return []
+
+
 def iter_topological_orders(adj: List[List[int]]):
     """Lazily yield every topological order of the DAG, in the
     reference's recursive backtracking order (smallest eligible node

@@ -262,6 +262,77 @@ def replay_bfb(
     return path
 
 
+def direct_splice_replay(
+    g: Genome,
+    pairs,
+    element_cn,
+    inversions: Dict[int, Junction],
+    is_reversed: bool = False,
+    out=None,
+    n_variants: int = 24,
+) -> VertexPath:
+    """Span-descending DIRECT replay — the fallback for solutions whose
+    reference-rule graph is cyclic (zero topological orders).
+
+    The reference's DAG (construct_dag) exists only to ORDER the splice
+    attempts; its shared-parent rule is not span-monotone and some
+    solved CN vectors give it cycles, where the reference scans a
+    factorial dead end and prints nothing (LGM.cpp:3380-3409, :261).
+    The splice semantics themselves (get_bfb) only need SOME ordering —
+    so build the node list directly from the positive variables
+    (bypassing the quirky parallel-sort payload arrays), order by span
+    descending (parents before children — the monotone order the DAG
+    rule approximates), and replay that single order; a few
+    deterministic and seeded tie-break variants cover ambiguous equal-
+    span groups. A path found this way has identical validity to a
+    DAG-ordered one (same splice/parity rules, same imperfect-FBI
+    rewrite), at the SAME epsilon — measured: it replays noisy cases
+    whose entire optimal face is cyclic under the reference rule."""
+    import random
+
+    T = len(pairs)
+    nodes = []
+    for t in range(T):
+        i, j = int(pairs[t][0]), int(pairs[t][1])
+        if element_cn[t] > 0:
+            nodes.append(("p", i, j, int(element_cn[t])))
+        if element_cn[T + t] > 0:
+            nodes.append(("l", i, j, int(element_cn[T + t])))
+    if not nodes:
+        return []
+    rng = random.Random(0)
+    variants = [
+        sorted(nodes, key=lambda nd: (-(nd[2] - nd[1]), nd[0], nd[1])),
+        sorted(nodes, key=lambda nd: (-(nd[2] - nd[1]), nd[0] != "l", nd[1])),
+    ]
+    for _ in range(max(0, n_variants - 2)):
+        variants.append(
+            sorted(nodes, key=lambda nd: (-(nd[2] - nd[1]), rng.random()))
+        )
+    for v in variants:
+        n2p: List[List[int]] = []
+        n2l: List[List[int]] = []
+        for kind, i, j, cn in v:
+            if kind == "p":
+                n2p.append([i, j, cn])
+                n2l.append([])
+            else:
+                n2l.append([i, j, cn])
+                n2p.append([])
+        path = get_bfb(
+            g,
+            [list(range(len(v)))],
+            n2p,
+            n2l,
+            inversions,
+            is_reversed=is_reversed,
+            out=out,
+        )
+        if path:
+            return path
+    return []
+
+
 def get_bfb(
     g: Genome,
     orders: List[List[int]],

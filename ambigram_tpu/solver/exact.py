@@ -120,6 +120,7 @@ def solve_on_face(
     eps_cap: float,
     weights: np.ndarray,
     time_limit: Optional[float] = None,
+    forbidden_sets: Optional[list] = None,
 ) -> Optional[SolveResult]:
     """Find an integer point on (or below) the epsilon face
     `sum |A x - c| <= eps_cap` minimizing a SECONDARY objective
@@ -129,22 +130,38 @@ def solve_on_face(
     engine/dag.py); sweeping secondary objectives samples distinct
     vertices so the pipeline can retry replay across the face instead
     of giving up after one solution (the reference prints nothing here,
-    localhap.cpp:261). Returns None when the face is empty within the
-    budget (proves no strictly-equal-objective alternate exists) or the
-    solve errors."""
+    localhap.cpp:261).
+
+    `forbidden_sets`: combinatorial CUTS — each entry is a list of
+    variable indices that must not ALL be simultaneously positive.
+    Used by the replay retry to cut the node set of a detected DAG
+    cycle out of the next solve (indicator binaries z_v >= x_v/ub_v,
+    cut sum z_v <= |set|-1), which excludes the whole family of
+    solutions reproducing that cycle instead of just one point.
+
+    Returns (result_or_None, reason) with reason in {"ok",
+    "infeasible", "timeout", "error"} — the caller's cutting-plane loop
+    must distinguish a PROVEN-empty face (relax the epsilon cap) from a
+    budget miss (beyond help from more cuts at this budget)."""
     if not _HAVE_MILP:  # pragma: no cover
-        return None
+        return None, "error"
     V = prog.num_vars
     A_res, c_res = prog.residual_system()
     E = A_res.shape[0]
-    N = V + E
+    forbidden_sets = [list(s) for s in (forbidden_sets or []) if len(s)]
+    union_vars = sorted({v for s in forbidden_sets for v in s})
+    zpos = {v: k for k, v in enumerate(union_vars)}
+    Z = len(union_vars)
+    N = V + E + Z
     c = np.zeros(N)
     c[:V] = weights
     M = prog.G.shape[0]
-    # residual lift rows (as milp_lad) + hard rows + the face row
-    A_full = np.zeros((2 * E + M + 1, N))
-    lbs = np.empty(2 * E + M + 1)
-    ubs = np.empty(2 * E + M + 1)
+    # rows: residual lift pairs | hard rows | face row | z-link rows |
+    # one cut row per forbidden set
+    R = 2 * E + M + 1 + Z + len(forbidden_sets)
+    A_full = np.zeros((R, N))
+    lbs = np.empty(R)
+    ubs = np.empty(R)
     A_full[0 : 2 * E : 2, :V] = A_res
     A_full[1 : 2 * E : 2, :V] = A_res
     eps_idx = V + np.arange(E)
@@ -158,14 +175,30 @@ def solve_on_face(
         A_full[2 * E : 2 * E + M, :V] = prog.G
         lbs[2 * E : 2 * E + M] = prog.g_lb
         ubs[2 * E : 2 * E + M] = prog.g_ub
-    A_full[-1, V:] = 1.0  # sum of epsilons stays on the face
-    lbs[-1] = -np.inf
-    ubs[-1] = eps_cap + 1e-6
+    r = 2 * E + M
+    A_full[r, V : V + E] = 1.0  # sum of epsilons stays on the face
+    lbs[r] = -np.inf
+    ubs[r] = eps_cap + 1e-6
+    r += 1
+    for v in union_vars:  # x_v - ub_v z_v <= 0  (z_v = 1 iff x_v > 0)
+        A_full[r, v] = 1.0
+        A_full[r, V + E + zpos[v]] = -max(float(prog.x_ub[v]), 1.0)
+        lbs[r] = -np.inf
+        ubs[r] = 0.0
+        r += 1
+    for s in forbidden_sets:  # not all of this set positive at once
+        for v in s:
+            A_full[r, V + E + zpos[v]] = 1.0
+        lbs[r] = -np.inf
+        ubs[r] = len(s) - 1
+        r += 1
     constraints = LinearConstraint(A_full, lbs, ubs)
     integrality = np.zeros(N)
     integrality[:V] = 1
+    integrality[V + E :] = 1
     bounds = Bounds(
-        np.zeros(N), np.concatenate([prog.x_ub, np.full(E, np.inf)])
+        np.zeros(N),
+        np.concatenate([prog.x_ub, np.full(E, np.inf), np.ones(Z)]),
     )
     options = {}
     if time_limit is not None:
@@ -177,19 +210,24 @@ def solve_on_face(
         bounds=bounds,
         options=options,
     )
+    if res.status == 2:
+        return None, "infeasible"  # PROVEN empty: cuts exhausted the face
     if res.x is None or res.status not in (0, 1):
-        return None
+        return None, "timeout" if res.status == 1 else "error"
     x = np.round(res.x[:V]).astype(np.int64)
     if float(prog.hard_violation(x.astype(np.float64))) != 0.0:
-        return None
+        return None, "timeout"  # fractional budget point, not usable
     eps_sum = float(prog.residual_objective(x.astype(np.float64)))
     if eps_sum > eps_cap + 1e-6:
-        return None  # time-limited fractional point rounded off the face
-    return SolveResult(
-        x=x,
-        epsilon_sum=eps_sum,
-        objective=eps_sum - prog.bias,
-        status="optimal" if res.status == 0 else "heuristic",
+        return None, "timeout"  # rounded off the face
+    return (
+        SolveResult(
+            x=x,
+            epsilon_sum=eps_sum,
+            objective=eps_sum - prog.bias,
+            status="optimal" if res.status == 0 else "heuristic",
+        ),
+        "ok",
     )
 
 

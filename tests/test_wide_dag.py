@@ -192,3 +192,39 @@ def test_enumeration_work_budget_bounds_dead_end_scan(monkeypatch):
     steps = native_bfb_replay(adj, n2p, n2l, {}, max_replays=50)
     assert steps in (None, [])
     assert time.perf_counter() - t0 < 5.0
+
+
+def test_cyclic_optimum_replays_via_direct_splice(tmp_path):
+    """Regression for the batch bench's no-path tail (VERDICT r4 #4,
+    bench seed 208): every vertex of this noisy case's optimal face is
+    CYCLIC under the reference's shared-parent DAG rule, so the
+    reference-shaped replay proves zero topological orders and the
+    reference itself would print nothing (LGM.cpp:261). The direct
+    span-ordered splice fallback (engine.path.direct_splice_replay)
+    must replay the SAME solution — identical epsilon, no quality
+    trade."""
+    import os
+
+    import numpy as np
+
+    from ambigram_tpu.engine.dag import construct_dag, find_cycle
+    from ambigram_tpu.engine.enumerate import sorted_key_order
+    from ambigram_tpu.engine.pipeline import extract_programs, run_bfb
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+    from ambigram_tpu.solver.exact import solve_exact
+
+    case = simulate_bfb_case(
+        seed=208, n_segments=32, rounds=5, mode="process", noise=0.05
+    )
+    paths = write_case(case, str(tmp_path / "b208"))
+    prog = extract_programs(paths["lh"])[0]
+    sol = solve_exact(prog, time_limit=15.0)
+    assert sol.status in ("optimal", "heuristic")
+    # precondition: the reference rule yields a cyclic graph here
+    entries = sorted_key_order(prog.pairs)
+    adj, n2p, n2l = construct_dag(entries, sol.x)
+    assert find_cycle(adj), "fixture drifted: solution graph now acyclic"
+    res = run_bfb(paths["lh"], solver="exact", presolved=[sol])
+    assert res.path_strings and res.path_strings[0], "no path produced"
+    # the accepted solution is the original one — epsilon unchanged
+    assert abs(res.ilp_error - sol.objective) < 1e-6
