@@ -39,41 +39,83 @@ def make_mesh(n_devices: Optional[int] = None, case_axis: Optional[int] = None) 
     return Mesh(arr, ("case", "model"))
 
 
-def stack_cases(progs: Sequence[BfbProgram]) -> ScoringTensors:
+def stack_cases(
+    progs: Sequence[BfbProgram], device=None
+) -> ScoringTensors:
     """Stack several fitting programs into one leading-case-axis tensor
-    set, padded to the max shape across cases."""
+    set, padded to the max shape across cases.
+
+    When every case's rows are int8-exact (they are for all current
+    builders), ONLY the stacked int8 representation crosses the
+    host→device link and the prescaled f32 tensors are expanded ON
+    DEVICE (vmapped `_expand_f32`) — the same ~5× transfer cut the
+    single-case `scoring_tensors` does, which removed ~17s of stacked
+    host build + relay transfer from a 16-case batch's critical path.
+    `device` pins the transfer+expansion target."""
+    import functools
+
+    from ambigram_tpu.solver.score import _expand_f32
+
     pad_v = max(128, max(((p.num_vars + 127) // 128) * 128 for p in progs))
     # host tensors: restacking device arrays costs a device->host round
     # trip per array per case (~60ms each on relay backends)
     sts = [scoring_tensors(p, pad_vars=pad_v, device=False) for p in progs]
     pad_r = max(st.H.shape[0] for st in sts)
 
-    def pad_rows(x, rows, fill=0.0):
-        out = np.full((rows,) + x.shape[1:], fill, dtype=np.float32)
+    def pad_rows(x, rows, fill=0.0, dtype=np.float32):
+        out = np.full((rows,) + x.shape[1:], fill, dtype=dtype)
         out[: x.shape[0]] = np.asarray(x)
         return out
 
     big = np.float32(3.0e38)
+    x_ub = np.stack([np.asarray(st.x_ub) for st in sts])
+    H8 = np.stack([pad_rows(st.H8, pad_r, dtype=np.int8) for st in sts])
+    lb_raw = np.stack([pad_rows(st.lb_raw, pad_r, -big) for st in sts])
+    ub_raw = np.stack([pad_rows(st.ub_raw, pad_r, big) for st in sts])
+    # padding rows must carry w=0 (the f32 expansion derives open
+    # bounds and zero H rows from it)
+    w = np.stack([pad_rows(st.w, pad_r, 0.0) for st in sts])
+    int8_ok = all(st.int8_ok for st in sts)
+
+    def put(a):
+        aj = jnp.asarray(a)
+        return jax.device_put(aj, device) if device is not None else aj
+
+    if int8_ok:
+        H8j = put(H8)
+        lbr = put(lb_raw)
+        ubr = put(ub_raw)
+        wj = put(w)
+        H, lb, ub = jax.jit(jax.vmap(_expand_f32))(H8j, lbr, ubr, wj)
+        return ScoringTensors(
+            H=H,
+            lb=lb,
+            ub=ub,
+            x_ub=put(x_ub),
+            H8=H8j,
+            lb_raw=lbr,
+            ub_raw=ubr,
+            w=wj,
+            num_vars=pad_v,
+            num_residual_rows=max(st.num_residual_rows for st in sts),
+            int8_ok=True,
+            x_ub_max=max(st.x_ub_max for st in sts),
+        )
     H = np.stack([pad_rows(st.H, pad_r) for st in sts])
     lb = np.stack([pad_rows(st.lb, pad_r, -big) for st in sts])
     ub = np.stack([pad_rows(st.ub, pad_r, big) for st in sts])
-    x_ub = np.stack([np.asarray(st.x_ub) for st in sts])
-    H8 = np.stack([pad_rows(st.H8, pad_r).astype(np.int8) for st in sts])
-    lb_raw = np.stack([pad_rows(st.lb_raw, pad_r, -big) for st in sts])
-    ub_raw = np.stack([pad_rows(st.ub_raw, pad_r, big) for st in sts])
-    w = np.stack([pad_rows(st.w, pad_r) for st in sts])
     return ScoringTensors(
-        H=jnp.asarray(H),
-        lb=jnp.asarray(lb),
-        ub=jnp.asarray(ub),
-        x_ub=jnp.asarray(x_ub),
-        H8=jnp.asarray(H8),
-        lb_raw=jnp.asarray(lb_raw),
-        ub_raw=jnp.asarray(ub_raw),
-        w=jnp.asarray(w),
+        H=put(H),
+        lb=put(lb),
+        ub=put(ub),
+        x_ub=put(x_ub),
+        H8=put(H8),
+        lb_raw=put(lb_raw),
+        ub_raw=put(ub_raw),
+        w=put(w),
         num_vars=pad_v,
         num_residual_rows=max(st.num_residual_rows for st in sts),
-        int8_ok=all(st.int8_ok for st in sts),
+        int8_ok=int8_ok,
         x_ub_max=max(st.x_ub_max for st in sts),
     )
 

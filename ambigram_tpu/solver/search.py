@@ -572,7 +572,7 @@ def _search_impl(
         stagnant = jnp.where(best_s < prev_best - 1e-6, 0, stagnant + 1)
         return X, hx, scores, best_x, best_s, key, sweeps, r + 1, stagnant
 
-    X, hx, scores, best_x, best_s, _, sweeps, _, _ = jax.lax.while_loop(
+    X, hx, scores, best_x, best_s, _, sweeps, _, stagnant = jax.lax.while_loop(
         rounds_cond,
         rounds_body,
         (
@@ -592,8 +592,12 @@ def _search_impl(
     # descent, so it is already a local optimum of the full tiered
     # neighborhood — a second `_descend_loop` instantiation at pop 1
     # found nothing and doubled the compiled program (which costs
-    # minutes through remote-compile relays)
-    return best_x, best_s, (sweeps[0], sweeps[1], sweeps[2])
+    # minutes through remote-compile relays).
+    # `stagnant` tells the host WHY the loop exited: > patience means
+    # the search CONVERGED (stagnation), <= patience at exit means the
+    # round budget starved it — the polish stage reads this to choose
+    # between a cheap probe and a full polish.
+    return best_x, best_s, (sweeps[0], sweeps[1], sweeps[2]), stagnant
 
 
 _search = functools.partial(jax.jit, static_argnames=("chunk",))(_search_impl)
@@ -741,7 +745,7 @@ def _batch_search(
         return X, hx, scores, best_x, best_s, keys, sweeps, r + 1, stagnant
 
     sweeps0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
-    X, hx, scores, best_x, best_s, _, sweeps, _, _ = jax.lax.while_loop(
+    X, hx, scores, best_x, best_s, _, sweeps, _, stagnant = jax.lax.while_loop(
         rounds_cond,
         rounds_body,
         (
@@ -756,7 +760,8 @@ def _batch_search(
             jnp.zeros((G,), jnp.int32),
         ),
     )
-    return best_x, best_s, sweeps
+    # per-case convergence signal (see _search_impl's return note)
+    return best_x, best_s, sweeps, stagnant
 
 
 def _seed_population(prog: BfbProgram, Vp: int, x_ub: np.ndarray, pop: int, seed: int) -> np.ndarray:
@@ -1095,7 +1100,13 @@ def solve_device(
     )
     x = _block_and_account(d)[: prog.num_vars]
     return _finish_solution(
-        prog, x, d["lb"], certify=certify, polish=polish, lns_budget=lns_budget
+        prog,
+        x,
+        d["lb"],
+        certify=certify,
+        polish=polish,
+        lns_budget=lns_budget,
+        converged=bool(d["converged"][0]),
     )
 
 
@@ -1145,7 +1156,7 @@ def _dispatch_single(
         X0j = jnp.asarray(X0)
     target = certified_bound(prog, lb) if (certify and lb is not None) else 0.0
     with GLOBAL.phase("score"):
-        best_x, _, sweeps = _search(
+        best_x, best_s, sweeps, stagnant = _search(
             st,
             X0j,
             key,
@@ -1158,6 +1169,10 @@ def _dispatch_single(
         )
     return {
         "best_x": best_x,
+        "best_s": best_s,
+        "stagnant": stagnant,
+        "targets": np.asarray([max(float(target), 0.0)]),
+        "patience": patience,
         "sweeps": sweeps,
         "lb": lb,
         "pop": pop,
@@ -1172,12 +1187,19 @@ def _block_and_account(d: dict) -> np.ndarray:
     """Block on a pending dispatch's device arrays, record the real
     candidates-scored count (a delta sweep evaluates 2*Vp moves per
     member, a paired-move sweep M, a triple sweep M3), return best_x as
-    a host array ([Vp] for single dispatches, [G, Vp] for batched)."""
+    a host array ([Vp] for single dispatches, [G, Vp] for batched).
+    Also resolves the per-case `converged` flags (stagnation exit or
+    target met — vs round-budget starvation) the polish stage reads."""
     from ambigram_tpu.utils.profiling import GLOBAL
 
     with GLOBAL.phase("score"):
         best = np.asarray(d["best_x"])  # blocks until the search is done
         n_d, n_m, n_3 = (int(v) for v in d["sweeps"])
+        stagnant = np.atleast_1d(np.asarray(d["stagnant"]))
+        best_s = np.atleast_1d(np.asarray(d["best_s"]))
+    d["converged"] = (stagnant > d["patience"]) | (
+        best_s <= np.asarray(d["targets"]) + 1e-6
+    )
     GLOBAL.count(
         "candidates_scored",
         float(d["G"] * d["pop"])
@@ -1194,10 +1216,19 @@ def _finish_solution(
     certify: bool = True,
     polish: bool = True,
     lns_budget: Optional[float] = None,
+    converged: bool = True,
 ) -> SolveResult:
     """Host-side tail shared by solve_device and solve_device_batch:
-    measure the incumbent, probe-then-escalate the LNS polish when it
-    falls short of the certificate, certify, wrap."""
+    measure the incumbent, polish when it falls short of the
+    certificate, certify, wrap.
+
+    `converged` is the search's own exit signal (stagnation/target vs
+    round-budget starvation, `_search_impl`): a CONVERGED incumbent is
+    already a local optimum of the full tiered neighborhood, so it gets
+    only the cheap probe (escalating on improvement); a BUDGET-STARVED
+    one skips the probe and goes straight to the full polish — quality
+    there depends on it (the S=28 tiny-budget regression in
+    tests/test_lns.py pins this contract)."""
     import os
 
     from ambigram_tpu.utils.profiling import GLOBAL
@@ -1213,13 +1244,14 @@ def _finish_solution(
         from ambigram_tpu.solver.lns import lns_polish
 
         with GLOBAL.phase("solve.lns"):
-            # probe-then-escalate: the triple-move search usually lands
-            # ON the integer optimum but the LP bound is too weak to
-            # certify it, so a full LNS would spend ~10 s/case proving
-            # no-improvement in screen LPs. Probe two neighborhoods
-            # first; only an actual improvement (evidence the search
-            # plateaued short) or a hard violation buys the full sweep.
-            if violation > 0.0:
+            # probe-then-escalate: a converged triple-move search
+            # usually lands ON the integer optimum but the LP bound is
+            # too weak to certify it, so a full LNS would spend
+            # ~10 s/case proving no-improvement. Probe one tight
+            # neighborhood first; only an actual improvement (evidence
+            # the search plateaued short), a hard violation, or a
+            # budget-starved search buys the full sweep.
+            if violation > 0.0 or not converged:
                 x_p, eps_p, vio_p = lns_polish(
                     prog, x_int, target=tgt, time_budget=lns_budget
                 )
@@ -1341,9 +1373,8 @@ def solve_device_batch(
             Gp *= 2
         padded = group + [group[-1]] * (Gp - G)
         with GLOBAL.phase("solve.tensors"):
-            st = stack_cases(padded)
-            if device is not None:
-                st = jax.device_put(st, device)
+            # int8-only transfer + on-device f32 expansion (stack_cases)
+            st = stack_cases(padded, device=device)
         Vp = st.H.shape[-1]
 
         # per-case seeding (LP relaxations dominate; they release the
@@ -1377,7 +1408,7 @@ def solve_device_batch(
             targets_j = jax.device_put(targets_j, device)
             keys = jax.device_put(keys, device)
         with GLOBAL.phase("score"):
-            best_x, _, sweeps = _batch_search(
+            best_x, best_s, sweeps, stagnant = _batch_search(
                 st,
                 X0j,
                 keys,
@@ -1392,6 +1423,10 @@ def solve_device_batch(
             "idxs": idxs,
             "lbs": lbs,
             "best_x": best_x,
+            "best_s": best_s,
+            "stagnant": stagnant,
+            "targets": targets,
+            "patience": patience,
             "sweeps": sweeps,
             "pop": pop,
             "Vp": Vp,
@@ -1432,7 +1467,7 @@ def solve_device_batch(
             if best.ndim == 1:
                 best = best[None, :]
 
-            def _finish_one(i, x, lb):
+            def _finish_one(i, x, lb, conv):
                 return i, _finish_solution(
                     progs[i],
                     x,
@@ -1440,6 +1475,7 @@ def solve_device_batch(
                     certify=certify,
                     polish=polish,
                     lns_budget=lns_budget,
+                    converged=conv,
                 )
 
             for k, i in enumerate(d["idxs"]):
@@ -1449,6 +1485,7 @@ def solve_device_batch(
                         i,
                         best[k, : progs[i].num_vars],
                         d["lbs"][k],
+                        bool(d["converged"][k]),
                     )
                 )
         for fut in futures:
