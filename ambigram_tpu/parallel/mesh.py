@@ -52,15 +52,21 @@ def stack_cases(
     single-case `scoring_tensors` does, which removed ~17s of stacked
     host build + relay transfer from a 16-case batch's critical path.
     `device` pins the transfer+expansion target."""
-    import functools
-
-    from ambigram_tpu.solver.score import _expand_f32
+    from ambigram_tpu.solver.score import _expand_f32_cases
 
     pad_v = max(128, max(((p.num_vars + 127) // 128) * 128 for p in progs))
     # host tensors: restacking device arrays costs a device->host round
-    # trip per array per case (~60ms each on relay backends)
-    sts = [scoring_tensors(p, pad_vars=pad_v, device=False) for p in progs]
-    pad_r = max(st.H.shape[0] for st in sts)
+    # trip per array per case (~60ms each on relay backends). need_f32
+    # False skips each case's host f32 assembly (the f32 leaves are
+    # placeholders) — rebuilt below only if some case is not int8-exact
+    sts = [
+        scoring_tensors(p, pad_vars=pad_v, device=False, need_f32=False)
+        for p in progs
+    ]
+    if not all(st.int8_ok for st in sts):  # pragma: no cover - no
+        # current builder emits fractional rows; full host f32 path
+        sts = [scoring_tensors(p, pad_vars=pad_v, device=False) for p in progs]
+    pad_r = max(st.H8.shape[0] for st in sts)
 
     def pad_rows(x, rows, fill=0.0, dtype=np.float32):
         out = np.full((rows,) + x.shape[1:], fill, dtype=dtype)
@@ -86,7 +92,7 @@ def stack_cases(
         lbr = put(lb_raw)
         ubr = put(ub_raw)
         wj = put(w)
-        H, lb, ub = jax.jit(jax.vmap(_expand_f32))(H8j, lbr, ubr, wj)
+        H, lb, ub = _expand_f32_cases(H8j, lbr, ubr, wj)
         return ScoringTensors(
             H=H,
             lb=lb,

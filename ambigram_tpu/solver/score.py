@@ -117,15 +117,27 @@ def _expand_f32(H8, lb_raw, ub_raw, w):
     return H, lb, ub
 
 
+# case-stacked expansion (parallel.mesh.stack_cases): module-level so
+# the jit trace cache persists — a jit(vmap(...)) built per call is a
+# fresh function object and retraces every time
+_expand_f32_cases = jax.jit(jax.vmap(_expand_f32))
+
+
 def scoring_tensors(
     prog: BfbProgram,
     pad_vars: Optional[int] = None,
     pad_rows: Optional[int] = None,
     device: bool = True,
+    need_f32: bool = True,
 ) -> ScoringTensors:
     """device=False keeps the tensors as host numpy arrays — for callers
     that restack/pad them (parallel.mesh.stack_cases); pulling device
     arrays back costs a full round trip per array on relay backends.
+    need_f32=False additionally skips the HOST f32 assembly when the
+    int8 representation is exact (stack_cases expands f32 on device, so
+    the per-case host f32 build — ~70MB of f64 temporaries per S=48
+    case, measured ~3s/case on a 2-core host — is pure waste there);
+    the returned f32 leaves are 1-row placeholders in that case.
 
     The int8 representation is assembled first; when it is exact
     (int8_ok — every current builder emits {±1, ±2, 0.5·2} entries) and
@@ -160,6 +172,7 @@ def scoring_tensors(
     H8 = np.zeros((Rp, Vp), dtype=np.int8)
     a8 = A_int.astype(np.int8)
     int8_ok = bool(np.array_equal(a8.astype(np.float64), A_int))
+    del A_int
     H8[:R0, :V] = a8
     if P:
         rr = R0 + np.arange(P)
@@ -176,8 +189,15 @@ def scoring_tensors(
     w[n_seg:R0] = 0.5
     w[R0:R] = 1.0
     if M:
-        g8 = prog.G.astype(np.int8)
-        int8_ok = int8_ok and bool(np.array_equal(g8.astype(np.float64), prog.G))
+        if prog.G.dtype == np.int8:
+            # already the exact storage dtype (every current builder):
+            # skip the 70MB-of-f64 verification round trip per case
+            g8 = prog.G
+        else:
+            g8 = prog.G.astype(np.int8)
+            int8_ok = int8_ok and bool(
+                np.array_equal(g8.astype(np.float64), prog.G)
+            )
         H8[R : R + M, :V] = g8
         lb_raw[R : R + M] = np.maximum(prog.g_lb, -_BIG)
         ub_raw[R : R + M] = np.minimum(prog.g_ub, _BIG)
@@ -198,6 +218,25 @@ def scoring_tensors(
             lb_raw=lbr,
             ub_raw=ubr,
             w=wj,
+            num_vars=V,
+            num_residual_rows=R,
+            int8_ok=int8_ok,
+            x_ub_max=float(prog.x_ub.max()) if V else 0.0,
+        )
+
+    if not need_f32 and int8_ok:
+        # host-restack caller (stack_cases) expands f32 on device:
+        # return 1-row placeholders instead of the host f32 build
+        conv = jnp.asarray if device else np.asarray
+        return ScoringTensors(
+            H=conv(np.zeros((1, Vp), dtype=np.float32)),
+            lb=conv(np.zeros(1, dtype=np.float32)),
+            ub=conv(np.zeros(1, dtype=np.float32)),
+            x_ub=conv(x_ub),
+            H8=conv(H8),
+            lb_raw=conv(lb_raw),
+            ub_raw=conv(ub_raw),
+            w=conv(w),
             num_vars=V,
             num_residual_rows=R,
             int8_ok=int8_ok,

@@ -299,10 +299,23 @@ def bench_batch(n_cases=16):
             lh_paths.append(paths["lh"])
 
         # bucket warmup: one compile per padded shape, outside the clock
+        # (reported separately, as everywhere in this file) — both the
+        # per-case search buckets and the case-stacked group shapes the
+        # batch pipeline actually runs (solve_device_batch pads groups
+        # to powers of two: 16 mixed cases -> two Gp=8 groups)
+        from ambigram_tpu.solver.search import solve_device_batch
+
         t0 = time.perf_counter()
+        group_progs = {0: [], 1: []}
         for i in (0, 1):
             prog = extract_programs(lh_paths[i])[0]
             solve_device(prog, rounds=1, max_sweeps=2, polish=False, certify=False)
+            group_progs[i] = [
+                extract_programs(lh_paths[j])[0] for j in range(i, n_cases, 2)
+            ]
+            solve_device_batch(
+                group_progs[i], rounds=1, max_sweeps=2, polish=False, certify=False
+            )
         compile_seconds = round(time.perf_counter() - t0, 1)
 
         t0 = time.perf_counter()
