@@ -116,11 +116,14 @@ class BfbProgram:
         G is stored int8 (the memory-disciplined form); a mixed
         int8 @ float64 matmul falls off BLAS onto numpy's slow loop
         (measured ~1.9 s per call at S=48 — it dominated the whole LNS
-        probe), so lift G to float32 for the product. Exact: G entries
-        and x are small integers, every row value well below 2^24."""
-        gx = (x.astype(np.float32) @ self.G.T.astype(np.float32)).astype(
-            np.float64
-        )
+        probe), so lift G to float32 for the product. The conversion
+        must run on the CONTIGUOUS array — `G.T.astype` writes a
+        strided 35 MB scatter (~0.5 s/call, measured); converting first
+        and letting BLAS take the transpose flag is ~20 ms. Exact: G
+        entries and x are small integers, every row value well below
+        2^24."""
+        g32 = self.G.astype(np.float32)  # contiguous int8 -> f32
+        gx = (x.astype(np.float32) @ g32.T).astype(np.float64)
         return np.maximum(gx - self.g_ub, 0).sum(axis=-1) + np.maximum(
             self.g_lb - gx, 0
         ).sum(axis=-1)
