@@ -462,8 +462,15 @@ def lns_polish(
     # neighborhood still paid a no-improvement MILP proof (measured
     # ~0.2-1.4 s each vs ~0.05 s for the screen LP). A small floor
     # trades improvements below 0.01 epsilon (an order of magnitude
-    # under the noise scale) for skipping those proofs.
-    screen_margin = max(quantum, 0.01)
+    # under the noise scale) for skipping those proofs. In PROBE mode
+    # (converged incumbents only — _finish_solution gates on the
+    # search's own convergence signal) the floor is 0.3: the incumbent
+    # is already a local optimum of the full tiered neighborhood, the
+    # integrality gap makes weak LP headroom meaningless, and the
+    # probe's job is catching REAL plateaus, not sub-noise slivers —
+    # measured: the batch's probe MILPs mostly ran their whole cap to
+    # prove nothing.
+    screen_margin = max(quantum, 0.3 if probe else 0.01)
     version = 0  # bumped on every accepted improvement
     seen: dict = {}  # neighborhood key -> version it was last solved at
 

@@ -369,18 +369,25 @@ def bench_batch(n_cases=16):
 def bench_scaling_proxy(mesh_sizes=(1, 2, 4, 8), n_cases=8):
     """Measured scaling proxy (BASELINE 'scaling efficiency' line):
     wall seconds of the stacked case-sharded pass at mesh sizes 1/2/4/8
-    on a virtual CPU mesh over CONSTANT physical hardware, with each
-    virtual device normalized to ONE compute thread
-    (--xla_cpu_multi_thread_eigen=false). Without that normalization
-    the mesh1 baseline is not a clean single-device reference — its one
-    device multi-threads small shapes inefficiently across the host's
-    cores, and larger meshes looked FASTER than it (r4's negative
-    'overhead'). With it, speedup vs mesh1 divided by the physical-core
-    ceiling min(mesh, n_cores) is an honest efficiency number for the
-    sharding machinery (mesh partitioning + shard_map dispatch + psum
-    collectives); meshes beyond the core count time-slice and can only
-    hold, not gain. Each mesh size runs in a subprocess (device count
-    is fixed at backend init)."""
+    on a virtual CPU mesh over CONSTANT physical hardware.
+
+    What this leg can and cannot observe (r4 asked for the anomaly to
+    be pinned): per-device compute CANNOT be normalized on this host —
+    XLA:CPU's thread pool is client-global (the old
+    --xla_cpu_multi_thread_eigen flag is inert, verified by a direct
+    matmul A/B), so all mesh sizes share the same cores and an ideal-
+    speedup efficiency number is unobservable here. What IS observable:
+    the work is constant across mesh sizes, so the wall-clock DELTA vs
+    mesh1 is exactly the sharding machinery's cost (mesh partitioning,
+    shard_map dispatch, psum collectives). A flat line (within noise)
+    bounds that overhead at ~0; r4's -18% reading came from mesh1's
+    multi-threaded small-shape execution being slower than 8 single-
+    shard programs — a thread-partitioning artifact, not negative
+    sharding cost. True multi-chip efficiency needs real chips; cases
+    are independent (zero cross-case collectives), so on hardware it is
+    bounded by per-case skew, not communication (docs/ARCHITECTURE.md).
+    Each mesh size runs in a subprocess (device count is fixed at
+    backend init)."""
     import shutil
 
     from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
@@ -389,9 +396,7 @@ def bench_scaling_proxy(mesh_sizes=(1, 2, 4, 8), n_cases=8):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
-        env.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=8"
-        + " --xla_cpu_multi_thread_eigen=false"
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
     # small shard budgets: the proxy measures dispatch + collectives,
     # not search quality
@@ -429,23 +434,29 @@ def bench_scaling_proxy(mesh_sizes=(1, 2, 4, 8), n_cases=8):
     finally:
         shutil.rmtree(td, ignore_errors=True)
     base = legs.get("mesh1", {}).get("seconds")
-    n_cores = os.cpu_count() or 1
     if isinstance(base, (int, float)) and base > 0:
+        spread = []
         for m in mesh_sizes:
             leg = legs.get("mesh%d" % m, {})
             if isinstance(leg.get("seconds"), (int, float)):
                 t = leg["seconds"]
                 leg["cases_per_min"] = round(60.0 * n_cases / t, 2)
-                leg["speedup_vs_mesh1"] = round(base / t, 2)
-                ideal = min(m, n_cores)
-                leg["efficiency_vs_core_ceiling_pct"] = round(
-                    100.0 * (base / t) / ideal, 1
+                leg["sharding_overhead_pct_vs_mesh1"] = round(
+                    100.0 * (t - base) / base, 1
                 )
+                spread.append(t)
+        if spread:
+            legs["max_abs_spread_pct"] = round(
+                100.0 * (max(spread) - min(spread)) / base, 1
+            )
     legs["interpretation"] = (
-        "one compute thread per virtual device over %d physical cores; "
-        "ideal speedup is min(mesh, cores) — efficiency reads the "
-        "sharding machinery's overhead, meshes past the core count can "
-        "only hold" % n_cores
+        "constant work over constant hardware (%d cores shared by every "
+        "mesh size; per-device threads cannot be pinned on XLA:CPU): the "
+        "delta vs mesh1 is the sharding machinery's cost, and a spread "
+        "within run noise bounds it at ~0. Ideal-speedup efficiency is "
+        "unobservable without real chips; cases are independent (no "
+        "cross-case collectives), so hardware scaling is bounded by "
+        "per-case skew, not communication" % (os.cpu_count() or 1)
     )
     return legs
 
