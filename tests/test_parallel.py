@@ -197,3 +197,37 @@ def test_run_bfb_many_respects_restricted_mesh(tmp_path, monkeypatch):
     assert used, "single-slot mesh must route through a recorded device solve"
     assert None not in used, "device search dispatched without a device pin"
     assert set(used) <= allowed, "case placed on a device outside the mesh"
+
+
+def test_one_chip_auto_batch_certifies_small_programs(tmp_path, monkeypatch):
+    """Advisor r4: on a single device, the case-stacked batch routes
+    small/mid programs around auto's exact-first stage — _post_big must
+    run the exact solver for them, so batch results match per-case auto
+    runs (clean cases end CERTIFIED, not silently heuristic)."""
+    from ambigram_tpu.engine.pipeline import extract_programs, solve_programs_batch
+    from ambigram_tpu.parallel.mesh import make_mesh
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+
+    monkeypatch.setenv("AMBIGRAM_SEARCH_POP", "4")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_ROUNDS", "1")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_SWEEPS", "8")
+    monkeypatch.setenv("AMBIGRAM_LNS_BUDGET", "5")
+    flat, index = [], []
+    for seed in (0, 1, 2):
+        case = simulate_bfb_case(seed=seed, n_segments=24)  # V=600: past the
+        # exact PREPASS cut (512) but under AUTO_EXACT_FIRST_MAX_VARS (2048)
+        # -> the one-chip case-stacked branch + _post_big exact stage
+        prog = extract_programs(write_case(case, str(tmp_path / ("a%d" % seed)))["lh"])[0]
+        assert prog is not None
+        flat.append(prog)
+        index.append((seed, 0))
+    # restrict to ONE device so the case-stacked branch fires; the tiny
+    # search budget guarantees the search alone cannot certify
+    mesh = make_mesh(1)
+    solutions = solve_programs_batch(flat, index, solver="auto", mesh=mesh)
+    assert len(solutions) == 3
+    for (key, prog) in zip(index, flat):
+        sol = solutions[key]
+        # noise-free cases have an exact decomposition: the batch's
+        # exact stage must certify it exactly like a per-case auto run
+        assert sol.status == "optimal", (key, sol.status, sol.epsilon_sum)
