@@ -891,56 +891,49 @@ def solve_programs_batch(
         workers = min(4, len(big)) if big else 0
         per_case_lns = _per_case_lns_budget(len(big), max(workers, 1))
 
-        if len(devices) == 1 and len(big) > 1:
-            # ONE chip: per-case searches would queue on it (measured:
-            # thread-summed search time ~4x the per-case cost on a 16
-            # mixed-size batch). Case-stack same-shape groups into one
-            # device program each (solve_device_batch) — one compile,
-            # one transfer, G*pop-row matmuls — then finish auto's host
-            # tail per case on a thread pool.
+        if len(big) > 1 and (
+            len(devices) == 1 or len(big) > 2 * len(devices)
+        ):
+            # Deep queue: per-case searches would pile up on the
+            # device(s) (measured on one chip: thread-summed search
+            # time ~4x the per-case cost on a 16 mixed-size batch).
+            # Case-stack same-shape groups into one device program each
+            # (solve_device_batch) — one compile, one transfer,
+            # G*pop-row matmuls — then finish auto's host tail per case
+            # on a thread pool. With MULTIPLE devices and queue depth
+            # > 2x the device count, the big list splits round-robin
+            # into one case-stacked leg per device, each on its own
+            # thread (VERDICT r4 #3's multi-chip extension).
             from ambigram_tpu.solver.search import solve_device_batch
 
-            big_progs = [prog for _, prog in big]
-            batch_res = solve_device_batch(
-                big_progs, device=devices[0], lns_budget=per_case_lns
-            )
+            n_legs = min(len(devices), len(big))
+            chunks = [big[k::n_legs] for k in range(n_legs)]
+            leg_post_workers = max(2, 8 // n_legs)
 
-            def _post_big(item):
-                (key, prog), res = item
-                if solver == "auto":
-                    # auto's policy is exact-FIRST for small/mid programs
-                    # (the per-case path, `_solve`); the one-chip batch
-                    # routes them through the case-stacked search instead,
-                    # so run the exact stage here when the search did not
-                    # already certify — batch results must match per-case
-                    # runs, and a small program must never end uncertified
-                    # merely because it arrived in a batch
-                    if res.status != "optimal" and prog.num_vars <= AUTO_EXACT_FIRST_MAX_VARS:
-                        from ambigram_tpu.solver.exact import (
-                            have_exact_solver,
-                            solve_exact,
-                        )
-                        from ambigram_tpu.utils.profiling import GLOBAL
-
-                        if have_exact_solver():
-                            with GLOBAL.phase("solve.exact"):
-                                eres = solve_exact(prog, time_limit=60.0)
-                            if eres.status in ("optimal", "infeasible"):
-                                return key, eres
-                            return key, _auto_post(prog, res, [eres])
-                    return key, _auto_post(prog, res)
-                return key, res
+            def _stacked_leg(leg_idx):
+                items = chunks[leg_idx]
+                res_leg = solve_device_batch(
+                    [prog for _, prog in items],
+                    device=devices[leg_idx],
+                    lns_budget=per_case_lns,
+                    post_workers=leg_post_workers,
+                )
+                return [
+                    (key, _post_big_auto(prog, res, solver))
+                    for (key, prog), res in zip(items, res_leg)
+                ]
 
             with ThreadPoolExecutor(
-                max_workers=max(workers, 1) + (1 if rest else 0)
+                max_workers=n_legs + (1 if rest else 0)
             ) as pool:
                 stack_fut = (
                     pool.submit(_solve_stacked, rest, solver, mesh)
                     if rest
                     else None
                 )
-                for key, sol in pool.map(_post_big, zip(big, batch_res)):
-                    solutions[key] = sol
+                for leg in pool.map(_stacked_leg, range(n_legs)):
+                    for key, sol in leg:
+                        solutions[key] = sol
                 if stack_fut is not None:
                     solutions.update(stack_fut.result())
             flat, index = [], []
@@ -983,6 +976,29 @@ def solve_programs_batch(
         for key, prog in zip(index, flat):
             solutions[key] = solve_exact(prog)
     return solutions
+
+
+def _post_big_auto(prog: BfbProgram, res, solver: str):
+    """Auto's host tail for one case-stacked search result. Auto's
+    policy is exact-FIRST for small/mid programs (the per-case path,
+    `_solve`); the case-stacked batch routes them through the search
+    instead, so run the exact stage here when the search did not
+    already certify — batch results must match per-case runs, and a
+    small program must never end uncertified merely because it arrived
+    in a batch (advisor r4)."""
+    if solver != "auto":
+        return res
+    if res.status != "optimal" and prog.num_vars <= AUTO_EXACT_FIRST_MAX_VARS:
+        from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
+        from ambigram_tpu.utils.profiling import GLOBAL
+
+        if have_exact_solver():
+            with GLOBAL.phase("solve.exact"):
+                eres = solve_exact(prog, time_limit=60.0)
+            if eres.status in ("optimal", "infeasible"):
+                return eres
+            return _auto_post(prog, res, [eres])
+    return _auto_post(prog, res)
 
 
 def _solve_stacked(items, solver: str, mesh) -> Dict[tuple, object]:

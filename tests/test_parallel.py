@@ -231,3 +231,48 @@ def test_one_chip_auto_batch_certifies_small_programs(tmp_path, monkeypatch):
         # noise-free cases have an exact decomposition: the batch's
         # exact stage must certify it exactly like a per-case auto run
         assert sol.status == "optimal", (key, sol.status, sol.epsilon_sum)
+
+
+def test_deep_queue_multi_device_case_stacking(tmp_path, monkeypatch):
+    """With multiple devices but queue depth > 2x the device count, big
+    programs are case-stacked into one leg per device
+    (solve_device_batch round-robin) instead of per-case searches —
+    every leg must stay inside the restricted mesh, and clean cases
+    still recover truth exactly."""
+    import jax
+
+    from ambigram_tpu.engine import pipeline as pl
+    from ambigram_tpu.parallel.mesh import make_mesh
+    from ambigram_tpu.scripts.evaluate import multiplicity_diff
+    from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
+    from ambigram_tpu.solver.search import (
+        solve_device_batch as real_solve_device_batch,
+    )
+
+    monkeypatch.setenv("AMBIGRAM_SEARCH_POP", "8")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_ROUNDS", "1")
+    monkeypatch.setenv("AMBIGRAM_SEARCH_SWEEPS", "64")
+    monkeypatch.setenv("AMBIGRAM_LNS_BUDGET", "10")
+    monkeypatch.chdir(tmp_path)
+    mesh = make_mesh(2)
+    allowed = set(mesh.devices.flatten())
+    used = []
+
+    def recording_batch(progs, device=None, **kw):
+        used.append((device, len(progs)))
+        return real_solve_device_batch(progs, device=device, **kw)
+
+    monkeypatch.setattr(
+        "ambigram_tpu.solver.search.solve_device_batch", recording_batch
+    )
+    paths, truths = [], []
+    for seed in (1, 3, 5, 7, 9):  # 5 big cases > 2 * 2 devices
+        case = simulate_bfb_case(seed=seed, n_segments=48)  # V = 2352
+        paths.append(write_case(case, "dq%d" % seed)["lh"])
+        truths.append(case.truth_string)
+    results = pl.run_bfb_many(paths, solver="device", mesh=mesh)
+    assert len(used) == 2, "expected one case-stacked leg per device"
+    assert {d for d, _ in used} <= allowed
+    assert sum(n for _, n in used) == 5
+    for res, truth in zip(results, truths):
+        assert res.path_strings and multiplicity_diff(truth, res.path_strings[0]) == 0
