@@ -813,26 +813,44 @@ def solve_programs_batch(
     programs are just large programs to this layer."""
     solutions: Dict[tuple, object] = {}
     if flat and solver == "auto":
-        # settle small programs exactly on host first (sub-second each;
-        # avoids paying a device jit compile when every case is small).
-        # The prepass budget is short: a hard mid-size program falls
-        # through to the device pass instead of stalling the batch N×60s.
+        # settle small/mid programs exactly on host first — auto's
+        # per-case policy is exact-FIRST up to AUTO_EXACT_FIRST_MAX_VARS
+        # and a batch must not silently route an easy program through
+        # the search (measured: 6 clean V=1800 SC samples solve ~1.7s
+        # each exactly, while the case-stacked search path loses to the
+        # plain serial loop on them). Budgets are short and the pass is
+        # THREADED (HiGHS releases the GIL), so a hard mid-size program
+        # burns a couple seconds in parallel and falls through to the
+        # device pass instead of stalling the batch N×60s: small
+        # programs (<= BATCH_EXACT_PREPASS_MAX_VARS) get 5s, mid-size
+        # ones 2.5s.
+        from concurrent.futures import ThreadPoolExecutor
+
         from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
+
+        def _prepass(item):
+            key, prog = item
+            if not have_exact_solver() or prog.num_vars > AUTO_EXACT_FIRST_MAX_VARS:
+                return key, prog, None
+            budget = (
+                5.0 if prog.num_vars <= BATCH_EXACT_PREPASS_MAX_VARS else 2.5
+            )
+            return key, prog, solve_exact(prog, time_limit=budget)
 
         remaining: List[BfbProgram] = []
         remaining_index: List[tuple] = []
-        for key, prog in zip(index, flat):
-            eres = (
-                solve_exact(prog, time_limit=5.0)
-                if have_exact_solver()
-                and prog.num_vars <= BATCH_EXACT_PREPASS_MAX_VARS
-                else None
-            )
-            if eres is not None and eres.status in ("optimal", "infeasible"):
-                solutions[key] = eres
-            else:
-                remaining.append(prog)
-                remaining_index.append(key)
+        # workers = cores: oversubscribing concurrent HiGHS solves
+        # dilates each one's wall clock past its OWN time budget
+        # (measured on a 2-core host: 4 workers made every 1.7s solve
+        # miss its 2.5s limit and fall through)
+        n_pre = max(1, min(4, os.cpu_count() or 4))
+        with ThreadPoolExecutor(max_workers=n_pre) as pool:
+            for key, prog, eres in pool.map(_prepass, zip(index, flat)):
+                if eres is not None and eres.status in ("optimal", "infeasible"):
+                    solutions[key] = eres
+                else:
+                    remaining.append(prog)
+                    remaining_index.append(key)
         flat, index = remaining, remaining_index
     if flat and solver in ("device", "auto"):
         # LARGE programs (V > AUTO_EXACT_FIRST_MAX_VARS): the stacked

@@ -1435,10 +1435,7 @@ def solve_device_batch(
             "G": Gp,
         }
 
-    pending: list = []
-    for key, idxs in sorted(
-        groups.items(), key=lambda kv: -len(kv[1]) * kv[0][2]
-    ):
+    def _dispatch_one(key, idxs) -> dict:
         if len(idxs) == 1:
             i = idxs[0]
             d = _dispatch_single(
@@ -1452,17 +1449,27 @@ def solve_device_batch(
             )
             d["idxs"] = idxs
             d["lbs"] = [d["lb"]]
-            pending.append(d)
-        else:
-            pending.append(_dispatch_group(key, idxs))
+            return d
+        return _dispatch_group(key, idxs)
 
-    # ---- phase 2: block on each group in dispatch order; its host
-    # tails run on a SHARED pool while later groups still occupy the
-    # device. Futures collected at the end.
+    ordered = sorted(groups.items(), key=lambda kv: -len(kv[1]) * kv[0][2])
+    # in-flight window: each dispatched group keeps its stacked tensors
+    # (f32 H alone is ~300MB for an 8-case S=48 group) and seed pools
+    # alive on device until phase 2 drains it — a long heterogeneous
+    # stream dispatched all at once could exhaust HBM, so keep a few
+    # groups ahead of the drain (enough to hide every host tail behind
+    # device work) and dispatch the rest as earlier groups retire
+    max_inflight = 4
     results: list = [None] * len(progs)
     with ThreadPoolExecutor(max_workers=post_workers) as pool:
         futures = []
-        for d in pending:
+        pending: list = []
+        next_up = 0
+        while next_up < len(ordered) or pending:
+            while next_up < len(ordered) and len(pending) < max_inflight:
+                pending.append(_dispatch_one(*ordered[next_up]))
+                next_up += 1
+            d = pending.pop(0)  # oldest: furthest along on device
             best = _block_and_account(d)
             if best.ndim == 1:
                 best = best[None, :]

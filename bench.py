@@ -467,6 +467,104 @@ def bench_scaling_proxy(mesh_sizes=(1, 2, 4, 8), n_cases=8):
     return legs
 
 
+def bench_sc(n_samples=6, n_clones=3, n_segments=24):
+    """Opt-in (AMBIGRAM_BENCH_SUITE=sc) single-cell batch throughput:
+    `run_sc_bfb_many` over simulated K-clone samples (the BLOCK
+    programs are the largest the engine builds — V = K * 2T) versus
+    the reference-shaped serial per-sample loop (one `run_sc_bfb` per
+    sample with a 15 s/case exact budget, standing in for one process
+    per sample, localhap.cpp:390-679)."""
+    import shutil
+
+    from ambigram_tpu.engine.sc import (
+        extract_sc_programs,
+        run_sc_bfb,
+        run_sc_bfb_many,
+    )
+    from ambigram_tpu.scripts.simulate import simulate_sc_case
+    from ambigram_tpu.solver.exact import solve_exact
+
+    td = tempfile.mkdtemp(prefix="ambigram_sc_bench_")
+    samples = []
+    try:
+        for s in range(n_samples):
+            sc = simulate_sc_case(
+                seed=700 + s,
+                n_clones=n_clones,
+                n_segments=n_segments,
+                topology="chain" if s % 2 == 0 else "star",
+            )
+            names = []
+            for k, case in enumerate(sc.cases):
+                p = os.path.join(td, "s%d_c%d.lh" % (s, k))
+                with open(p, "w") as f:
+                    f.write(case.lh_text)
+                names.append(p)
+            samples.append({"lh_paths": ",".join(names), "edges": ""})
+
+        # bucket warmup outside the clock (same policy as every leg:
+        # compiles are reported separately) — the SC block programs
+        # share one padded shape, so one tiny case-stacked call warms it
+        from ambigram_tpu.solver.search import solve_device_batch
+
+        t0 = time.perf_counter()
+        warm_progs = [
+            pr
+            for pr in extract_sc_programs(samples[0]["lh_paths"], "")
+            if pr is not None
+        ]
+        # x8: groups pad to powers of two, so 6 samples run as a Gp=8
+        # group — the warmup must hit the same compiled shape
+        solve_device_batch(
+            warm_progs * 8, rounds=1, max_sweeps=2, polish=False, certify=False
+        )
+        compile_seconds = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        batch = run_sc_bfb_many(samples, solver="auto")
+        batch_secs = time.perf_counter() - t0
+        batch_ok = sum(
+            1
+            for r in batch
+            if r.path_strings and all(any(c) for c in r.path_strings)
+        )
+
+        t0 = time.perf_counter()
+        serial_ok = 0
+        for s in samples:
+            progs = extract_sc_programs(s["lh_paths"], s["edges"])
+            presolved = [
+                solve_exact(pr, time_limit=15.0) if pr is not None else None
+                for pr in progs
+            ]
+            r = run_sc_bfb(
+                s["lh_paths"], solver="exact", presolved=presolved,
+                edges=s["edges"],
+            )
+            serial_ok += bool(
+                r.path_strings and all(any(c) for c in r.path_strings)
+            )
+        serial_secs = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    return {
+        "cases": "%dx sc (K=%d, S=%d) chain/star" % (n_samples, n_clones, n_segments),
+        "block_vars": n_clones * n_segments * (n_segments + 1),
+        "compile_seconds": compile_seconds,
+        "batch": {
+            "seconds": round(batch_secs, 1),
+            "samples_per_min": round(60.0 * n_samples / batch_secs, 2),
+            "solved": batch_ok,
+        },
+        "serial": {
+            "seconds": round(serial_secs, 1),
+            "samples_per_min": round(60.0 * n_samples / serial_secs, 2),
+            "solved": serial_ok,
+        },
+        "batch_speedup": round(serial_secs / batch_secs, 2) if batch_secs else 0.0,
+    }
+
+
 def bench_big():
     """Opt-in (AMBIGRAM_BENCH_SUITE=big) large-S legs capturing the
     S=64 / S=96 claims as artifacts: device search vs the 60s-budget
@@ -549,9 +647,10 @@ def main():
     # not lose the primary metric
     print(json.dumps(payload), flush=True)
     suite_mode = os.environ.get("AMBIGRAM_BENCH_SUITE", "1")
-    # "big" / "kernel" are SINGLE-leg opt-in modes (their artifacts are
-    # committed separately); the default legs run only in the default mode
-    if suite_mode not in ("0", "big", "kernel"):
+    # "big" / "kernel" / "sc" are SINGLE-leg opt-in modes (their
+    # artifacts are committed separately); the default legs run only in
+    # the default mode
+    if suite_mode not in ("0", "big", "kernel", "sc"):
         # secondary metric lines go to stderr so stdout stays the
         # contractual single JSON line
         try:
@@ -603,6 +702,16 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             print("kernel sweep failed: %s" % e, file=sys.stderr)
+    if suite_mode == "sc":
+        try:
+            sc = bench_sc()
+            print(
+                json.dumps({"metric": "sc_batch_throughput", **sc}),
+                file=sys.stderr,
+                flush=True,
+            )
+        except Exception as e:  # pragma: no cover
+            print("sc bench failed: %s" % e, file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -200,10 +200,11 @@ def test_run_bfb_many_respects_restricted_mesh(tmp_path, monkeypatch):
 
 
 def test_one_chip_auto_batch_certifies_small_programs(tmp_path, monkeypatch):
-    """Advisor r4: on a single device, the case-stacked batch routes
-    small/mid programs around auto's exact-first stage — _post_big must
-    run the exact solver for them, so batch results match per-case auto
-    runs (clean cases end CERTIFIED, not silently heuristic)."""
+    """Advisor r4: a batch must never leave a small/mid program
+    uncertified when per-case auto would have certified it — whether
+    the threaded exact prepass settles it or _post_big_auto's exact
+    stage runs after the case-stacked search, clean cases end
+    CERTIFIED, not silently heuristic."""
     from ambigram_tpu.engine.pipeline import extract_programs, solve_programs_batch
     from ambigram_tpu.parallel.mesh import make_mesh
     from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
