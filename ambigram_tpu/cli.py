@@ -262,6 +262,27 @@ def _dispatch(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        # flags that would silently do nothing in manifest mode are an
+        # input error (same rule as the --edges guard below): juncs and
+        # edges belong in the manifest's per-case columns
+        ignored = [
+            name
+            for name, val in (
+                ("--juncdb", args.juncdb),
+                ("--edges", args.edges),
+                ("--all", _boolish(args.print_all)),
+                ("--emit_lp", args.emit_lp),
+            )
+            if val
+        ]
+        if ignored:
+            print(
+                "error: %s not supported in manifest mode — put juncs=/"
+                "edges= columns on the manifest lines instead"
+                % ", ".join(ignored),
+                file=sys.stderr,
+            )
+            return 2
         return _run_manifest(args)
     if args.edges and args.op != "sc_bfb":
         # --edges silently doing nothing would let a user believe an

@@ -110,20 +110,38 @@ class BfbProgram:
             total = total + np.abs(diff).sum(axis=-1)
         return total
 
-    def hard_violation(self, x: np.ndarray) -> np.ndarray:
-        """Total constraint violation; 0 means feasible.
+    def _g_lift(self):
+        """Cached float dense G for host-side products, plus whether
+        float32 accumulation is provably exact for it. G is stored int8
+        (the memory-disciplined form); a mixed int8 @ float64 matmul
+        falls off BLAS onto numpy's slow loop (measured ~1.9 s per call
+        at S=48 — it dominated the whole LNS probe), and the conversion
+        must run on the CONTIGUOUS array (`G.T.astype` writes a strided
+        35 MB scatter, ~0.5 s/call measured). f32 is exact only while
+        every row's worst-case |G| . x_ub stays under 2^24; otherwise
+        (huge-CN programs) the lift falls back to float64 — slower but
+        never misclassifies feasibility. Cached per program: callers
+        (feasibility pools, face solves, cut repair) re-measure the
+        same program many times."""
+        cached = getattr(self, "_g_lift_cache", None)
+        if cached is not None:
+            return cached
+        if self.G.shape[0]:
+            row_worst = np.abs(self.G).astype(np.float64) @ np.asarray(
+                self.x_ub, dtype=np.float64
+            )
+            worst = float(row_worst.max(initial=0.0))
+        else:
+            worst = 0.0
+        dtype = np.float32 if worst < 2.0**24 else np.float64
+        cached = (np.ascontiguousarray(self.G, dtype=dtype), dtype)
+        object.__setattr__(self, "_g_lift_cache", cached)
+        return cached
 
-        G is stored int8 (the memory-disciplined form); a mixed
-        int8 @ float64 matmul falls off BLAS onto numpy's slow loop
-        (measured ~1.9 s per call at S=48 — it dominated the whole LNS
-        probe), so lift G to float32 for the product. The conversion
-        must run on the CONTIGUOUS array — `G.T.astype` writes a
-        strided 35 MB scatter (~0.5 s/call, measured); converting first
-        and letting BLAS take the transpose flag is ~20 ms. Exact: G
-        entries and x are small integers, every row value well below
-        2^24."""
-        g32 = self.G.astype(np.float32)  # contiguous int8 -> f32
-        gx = (x.astype(np.float32) @ g32.T).astype(np.float64)
+    def hard_violation(self, x: np.ndarray) -> np.ndarray:
+        """Total constraint violation; 0 means feasible."""
+        gf, dtype = self._g_lift()
+        gx = (x.astype(dtype) @ gf.T).astype(np.float64)
         return np.maximum(gx - self.g_ub, 0).sum(axis=-1) + np.maximum(
             self.g_lb - gx, 0
         ).sum(axis=-1)

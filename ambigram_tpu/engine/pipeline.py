@@ -140,15 +140,23 @@ def _solve(
     from ambigram_tpu.solver.search import solve_device
 
     res = solve_device(prog, lns_budget=lns_budget, device=device)
-    return _auto_post(prog, res, candidates)
+    return _auto_post(prog, res, candidates, tried_exact=bool(candidates))
 
 
-def _auto_post(prog: BfbProgram, res, candidates: Optional[list] = None):
+def _auto_post(
+    prog: BfbProgram,
+    res,
+    candidates: Optional[list] = None,
+    tried_exact: bool = False,
+):
     """Auto mode's host tail after a device search result `res`:
     warm-started native B&B polish (skipped where measured useless),
     last-resort exact MILP when nothing feasible exists, best-feasible
     selection. Shared by `_solve` and the batched device path
-    (`solve_programs_batch` over `solve_device_batch` results)."""
+    (`solve_programs_batch` over `solve_device_batch` results).
+    `tried_exact`: a budgeted solve_exact already ran for this program
+    upstream — re-running the identical solve as the last resort would
+    burn another full budget for no new information."""
     from ambigram_tpu.solver.exact import have_exact_solver, solve_exact
     from ambigram_tpu.solver.native_bnb import solve_native
     from ambigram_tpu.utils.profiling import GLOBAL
@@ -182,7 +190,7 @@ def _auto_post(prog: BfbProgram, res, candidates: Optional[list] = None):
         ]
 
     feasible = _feasible(candidates)
-    if not feasible and have_exact_solver():
+    if not feasible and not tried_exact and have_exact_solver():
         # last resort for ANY size when nothing feasible exists: at
         # large V the MILP rarely betters the search incumbent within
         # any budget (see measurements above), but an infeasible pool
@@ -486,9 +494,24 @@ def _retry_replay_on_face(
     (AMBIGRAM_FACE_RETRIES caps the sweep, default 6)."""
     from ambigram_tpu.engine.dag import find_cycle
     from ambigram_tpu.engine.enumerate import pair_index
+    from ambigram_tpu.engine.path import direct_splice_replay
     from ambigram_tpu.solver.exact import have_exact_solver, solve_on_face
     from ambigram_tpu.utils.profiling import GLOBAL
 
+    # step 0 FIRST — the direct replay is pure Python and needs no MILP
+    # solver, so a host without scipy still recovers the cases the
+    # reference cannot (the face machinery below does need the solver)
+    with GLOBAL.phase("replay"):
+        path0 = direct_splice_replay(
+            g,
+            prog.pairs,
+            element_cn,
+            inversions,
+            is_reversed=is_reversed,
+            out=out,
+        )
+    if path0:
+        return sol, element_cn, path0
     if not have_exact_solver():
         return sol, element_cn, []
     n_retries = int(os.environ.get("AMBIGRAM_FACE_RETRIES", 6))
@@ -524,27 +547,8 @@ def _retry_replay_on_face(
     # A repair may cost epsilon (bounded below); the accepted alternate
     # reports its own objective, so quality loss is visible, never
     # silent.
-    from ambigram_tpu.engine.path import direct_splice_replay
     from ambigram_tpu.solver.exact import SolveResult
     from ambigram_tpu.solver.lns import cut_repair
-
-    # step 0: direct span-ordered replay of the ORIGINAL solution. The
-    # DAG only orders the splice attempts; when it is cyclic (zero
-    # orders — the reference prints nothing) a span-descending direct
-    # order usually replays the very same CN vector at the SAME
-    # epsilon. Measured on the failing batch seeds: solves them with no
-    # quality loss, so the face machinery below is a deep fallback.
-    with GLOBAL.phase("replay"):
-        path0 = direct_splice_replay(
-            g,
-            prog.pairs,
-            element_cn,
-            inversions,
-            is_reversed=is_reversed,
-            out=out,
-        )
-    if path0:
-        return sol, element_cn, path0
 
     cuts: List[List[int]] = []
     adj0, n2p0, n2l0 = construct_dag(entries, element_cn)
@@ -587,10 +591,13 @@ def _retry_replay_on_face(
                     prog, eps_cap, w, time_limit=per_solve, forbidden_sets=cuts
                 )
             if alt is None:
-                if reason == "infeasible" and cuts:
+                if reason == "infeasible" and cuts and eps_cap < eps_accept:
                     eps_cap = min(eps_cap * 1.05 + 1.0, eps_accept)
                     continue  # cuts exhausted the face: relax a step
-                break  # timeout/error: this budget won't crack it
+                # a face proven empty AT the acceptance ceiling cannot
+                # become feasible under different secondary weights —
+                # stop instead of re-proving it each remaining attempt
+                break  # or timeout/error: this budget won't crack it
         if alt.x.tobytes() in tried:
             continue
         tried.add(alt.x.tobytes())
@@ -1015,7 +1022,7 @@ def _post_big_auto(prog: BfbProgram, res, solver: str):
                 eres = solve_exact(prog, time_limit=60.0)
             if eres.status in ("optimal", "infeasible"):
                 return eres
-            return _auto_post(prog, res, [eres])
+            return _auto_post(prog, res, [eres], tried_exact=True)
     return _auto_post(prog, res)
 
 

@@ -350,16 +350,20 @@ int bfb_replay(int n_nodes, const int *adj_off, const int *adj_flat,
     // replay on a typical path; bounds wall time even when individual
     // replays are huge (large-CN incumbents)
     long long max_work = max_replays > 0 ? max_replays * 64 : 0;
-    // emission writes 2 ints per expanded step, and the expanded path is
-    // never shorter than the breakpoint vector, so an order whose
-    // breakpoint path exceeds out_cap/2 steps can never be emitted into
-    // this buffer — abort it during replay instead of completing the
-    // splice work and failing at emission (which forces the 16x retry
-    // to redo the whole enumeration)
+    // In-replay abort bound: emission writes 2 ints per expanded step,
+    // and expanded steps >= breakpoint pairs = bkp.size()/2, so the
+    // emitted ints are >= bkp.size() — a breakpoint vector larger than
+    // out_cap can NEVER be emitted into this buffer and is aborted
+    // during replay. The bound must not be tighter: a path with bkp in
+    // (out_cap/2, out_cap] can still emit when its runs are short
+    // (ints = 2*steps can be <= out_cap), so halving the threshold
+    // would silently drop real paths — those middle cases instead
+    // finish replay, fail emission with -1, and succeed on the 16x
+    // capacity retry.
     Ctx c{n_nodes, adj_off,  adj_flat,   node_pat,
           node_loop, n_inv,  inv_key,    invs.data(),
           is_reversed != 0,  max_replays, 0,
-          max_work, 0, (long long)out_cap / 2};
+          max_work, 0, (long long)out_cap};
 
     // Kahn's check: the "DAG" construction inherits the reference's
     // shared-parent edge rule (LGM.cpp:3353-3361), which is NOT

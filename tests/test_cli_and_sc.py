@@ -199,3 +199,27 @@ def test_parse_manifest_errors(tmp_path):
     bad.write_text("sc: edges=1:2\n")
     with pytest.raises(ValueError, match="no clone files"):
         parse_manifest(str(bad))
+
+
+def test_cli_manifest_rejects_per_case_flags(tmp_path):
+    """Flags that would silently do nothing in manifest mode are an
+    input error (juncs/edges belong in the manifest columns)."""
+    m = tmp_path / "c.manifest"
+    m.write_text("a.lh\n")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "ambigram_tpu.cli",
+            "--op", "bfb", "--in_lh", str(m),
+            "--juncdb", "extra.juncs",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        timeout=120,
+    )
+    assert out.returncode == 2
+    assert "--juncdb" in out.stderr and "manifest" in out.stderr
