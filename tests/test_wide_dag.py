@@ -108,8 +108,13 @@ def test_full_double_scan_bounded_on_wide_dag(monkeypatch):
 
 
 def test_order_cap_bounds_pathological_scan(monkeypatch):
-    """AMBIGRAM_MAX_ORDERS caps each pass on inputs too wide to scan."""
-    g, adj, n2p, n2l = _wide(n=24, fam=9)  # C(18,9) = 48620 orders
+    """AMBIGRAM_MAX_ORDERS caps each pass on inputs too wide to scan.
+
+    Fixture note: fam=7 (C(14,7)=3432 orders, ACYCLIC) — wider fam
+    configurations of _wide turn cyclic (the shared-parent edge rule is
+    not span-monotone), and a cyclic graph exercises the Kahn fast-fail
+    instead of the order cap this test is about."""
+    g, adj, n2p, n2l = _wide(fam=7)
     import ambigram_tpu.native as native_mod
 
     monkeypatch.setattr(
@@ -180,18 +185,29 @@ def test_cyclic_graph_returns_no_path_fast():
     assert steps in (None, [])
 
 
-def test_enumeration_work_budget_bounds_dead_end_scan(monkeypatch):
+def test_enumeration_work_budget_bounds_dead_end_scan(monkeypatch, capsys):
     """Even without a cycle, a graph whose orders all fail to replay
     must stay inside the work budget: AMBIGRAM_MAX_REPLAYS bounds the
     native scan (count + derived splice-work), so the call returns
-    empty instead of grinding through the factorial tail."""
-    g, adj, n2p, n2l = _wide(n=24, fam=9)  # C(18,9) = 48620 orders
+    empty instead of grinding through the factorial tail — AND warns
+    on stderr that the 'no path' is budget-bounded, not proven (the
+    reference enumerates unboundedly, so a silent bounded miss would
+    be an invisible behavior divergence).
+
+    Fixture note: fam=7 (C(14,7)=3432 orders, ACYCLIC, none of which
+    replay). The previous n=24/fam=9 fixture is actually CYCLIC, so it
+    exercised the Kahn fast-fail (a PROVEN no-path: budget untouched,
+    no warning) rather than the budget path this test is about."""
+    g, adj, n2p, n2l = _wide(fam=7)
     from ambigram_tpu.native import native_bfb_replay
 
     t0 = time.perf_counter()
     steps = native_bfb_replay(adj, n2p, n2l, {}, max_replays=50)
     assert steps in (None, [])
     assert time.perf_counter() - t0 < 5.0
+    if steps is not None:  # native lib present: the bounded miss warns
+        err = capsys.readouterr().err
+        assert "budget exhausted" in err and "not proven" in err
 
 
 def test_cyclic_optimum_replays_via_direct_splice(tmp_path):
