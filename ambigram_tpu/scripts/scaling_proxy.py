@@ -44,9 +44,16 @@ def run_proxy(case_dir: str, mesh_size: int) -> dict:
     for p in lh_paths:
         progs += [pr for pr in extract_programs(p) if pr is not None]
     mesh = make_mesh(mesh_size)
-    # one throwaway step compiles the sharded program so the measured
-    # wall is execution + dispatch + collectives, not XLA compile
-    solve_cases_sharded(progs[:1], mesh=mesh, pop=4, steps=1, rounds=1)
+    # Warm-up must run the IDENTICAL call: jit caches by shape, so a
+    # cut-down warm-up (1 program, tiny budgets) compiles a DIFFERENT
+    # executable and the measured wall still pays the full XLA compile
+    # — which is largest and most run-to-run variable for the 1-device
+    # layout (one shard holds all stacked cases), and was the whole
+    # "mesh1 slowest" anomaly (r4 weak #6: readings swung between -18%
+    # and -54% depending on how slow that compile happened to be).
+    t0 = time.perf_counter()
+    solve_cases_sharded(progs, mesh=mesh)
+    compile_plus_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     best = solve_cases_sharded(progs, mesh=mesh)
     seconds = time.perf_counter() - t0
@@ -59,6 +66,7 @@ def run_proxy(case_dir: str, mesh_size: int) -> dict:
     return {
         "mesh": mesh_size,
         "seconds": round(seconds, 2),
+        "compile_plus_first_run_seconds": round(compile_plus_first, 2),
         "eps_sum": round(eps, 2),
         "solved": solved,
         "n_programs": len(progs),

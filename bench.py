@@ -386,12 +386,16 @@ def bench_scaling_proxy(mesh_sizes=(1, 2, 4, 8), n_cases=8):
     the work is constant across mesh sizes, so the wall-clock DELTA vs
     mesh1 is exactly the sharding machinery's cost (mesh partitioning,
     shard_map dispatch, psum collectives). A flat line (within noise)
-    bounds that overhead at ~0; r4's -18% reading came from mesh1's
-    multi-threaded small-shape execution being slower than 8 single-
-    shard programs — a thread-partitioning artifact, not negative
-    sharding cost. True multi-chip efficiency needs real chips; cases
-    are independent (zero cross-case collectives), so on hardware it is
-    bounded by per-case skew, not communication (docs/ARCHITECTURE.md).
+    bounds that overhead at ~0. The r4 "mesh1 slowest" anomaly (-18%
+    to -54% across reruns) was XLA COMPILE leaking into the measured
+    wall: the old warm-up ran a cut-down call (1 program, tiny
+    budgets) that compiles a DIFFERENT executable, so each measured
+    run still paid the full compile — largest and most variable for
+    the 1-device layout. scaling_proxy now warms up with the
+    identical call and reports compile separately. True multi-chip
+    efficiency needs real chips; cases are independent (zero
+    cross-case collectives), so on hardware it is bounded by per-case
+    skew, not communication (docs/ARCHITECTURE.md).
     Each mesh size runs in a subprocess (device count is fixed at
     backend init)."""
     import shutil
