@@ -291,7 +291,6 @@ def bench_batch(n_cases=16):
 
     from ambigram_tpu.engine.pipeline import extract_programs, run_bfb, run_bfb_many
     from ambigram_tpu.scripts.simulate import simulate_bfb_case, write_case
-    from ambigram_tpu.solver.search import solve_device
 
     td = tempfile.mkdtemp(prefix="ambigram_batch_bench_")
     lh_paths = []
@@ -304,24 +303,18 @@ def bench_batch(n_cases=16):
             paths = write_case(case, os.path.join(td, "b%d" % i))
             lh_paths.append(paths["lh"])
 
-        # bucket warmup: one compile per padded shape, outside the clock
-        # (reported separately, as everywhere in this file) — both the
-        # per-case search buckets and the case-stacked group shapes the
-        # batch pipeline actually runs (solve_device_batch pads groups
-        # to powers of two: 16 mixed cases -> two Gp=8 groups)
-        from ambigram_tpu.solver.search import solve_device_batch
-
+        # Warmup = ONE FULL identical run (compile reported separately,
+        # as everywhere in this file). The previous bucket warmup
+        # compiled cut-down variants (rounds=1, polish/certify off) —
+        # but jit caches by (shape, static args), so the stage programs
+        # those flags gate still compiled INSIDE the measured window,
+        # and the leg's wall tracked relay compile latency instead of
+        # pipeline throughput (observed: batch 41.3s at 24.5s-compile
+        # relay vs 56.5s at 74.7s-compile relay, same work). The
+        # steady-state second run is the honest cases/min — identical
+        # to what a production batch stream pays per wave.
         t0 = time.perf_counter()
-        group_progs = {0: [], 1: []}
-        for i in (0, 1):
-            prog = extract_programs(lh_paths[i])[0]
-            solve_device(prog, rounds=1, max_sweeps=2, polish=False, certify=False)
-            group_progs[i] = [
-                extract_programs(lh_paths[j])[0] for j in range(i, n_cases, 2)
-            ]
-            solve_device_batch(
-                group_progs[i], rounds=1, max_sweeps=2, polish=False, certify=False
-            )
+        run_bfb_many(lh_paths, solver="device")
         compile_seconds = round(time.perf_counter() - t0, 1)
 
         t0 = time.perf_counter()
